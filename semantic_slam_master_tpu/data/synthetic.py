@@ -1,0 +1,224 @@
+"""Deterministic synthetic RGB-D world for tests and benchmarks.
+
+The reference's tests require a 12 GB TUM download plus a trained
+checkpoint (SURVEY.md §4 "no mocks and no fake backends"); its biggest
+testing gap is the absence of any synthetic fixture. This module closes
+that gap: a procedurally-textured box room rendered by exact ray-plane
+intersection from a known trajectory. Every frame comes with perfect
+depth, pose, and per-pixel semantic labels, so frontend, tracking, BA and
+full-SLAM ATE can all be validated end-to-end with no data on disk.
+
+Rendering is pure numpy (host-side, like PNG decoding would be) and fully
+vectorized; frames are deterministic functions of (seed, trajectory).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core.camera import PinholeCamera, TUM_FR2
+
+# Semantic classes of the synthetic world (used by the segmentation model
+# and by semantic residual weighting in BA).
+CLASS_FLOOR = 0
+CLASS_WALL = 1
+CLASS_CEILING = 2
+CLASS_FURNITURE = 3
+NUM_CLASSES = 4
+
+
+@dataclass(frozen=True)
+class Plane:
+    """Axis-aligned textured plane patch: ``axis``-coordinate == offset,
+    with the two in-plane axes bounded by ``lo``/``hi``."""
+
+    axis: int  # 0=x, 1=y, 2=z
+    offset: float
+    lo: Tuple[float, float]
+    hi: Tuple[float, float]
+    label: int
+    normal_sign: float  # which side faces the room interior
+
+
+def default_room() -> List[Plane]:
+    """A 6m x 4m x 3m box room with two furniture slabs."""
+    return [
+        Plane(1, 1.5, (-3.0, -2.0), (3.0, 2.0), CLASS_FLOOR, -1.0),  # floor y=+1.5
+        Plane(1, -1.5, (-3.0, -2.0), (3.0, 2.0), CLASS_CEILING, 1.0),  # ceiling
+        Plane(2, 2.0, (-3.0, -1.5), (3.0, 1.5), CLASS_WALL, -1.0),  # front wall z=2
+        Plane(2, -2.0, (-3.0, -1.5), (3.0, 1.5), CLASS_WALL, 1.0),  # back wall
+        Plane(0, 3.0, (-2.0, -1.5), (2.0, 1.5), CLASS_WALL, -1.0),  # right wall x=3
+        Plane(0, -3.0, (-2.0, -1.5), (2.0, 1.5), CLASS_WALL, 1.0),  # left wall
+        # furniture: a table slab and a cabinet face
+        Plane(1, 0.6, (-0.9, -0.3), (0.3, 0.5), CLASS_FURNITURE, -1.0),
+        Plane(2, 1.2, (-2.5, 0.0), (-1.0, 1.5), CLASS_FURNITURE, -1.0),
+    ]
+
+
+def _texture(u: np.ndarray, v: np.ndarray, label: int, seed: int) -> np.ndarray:
+    """Procedural RGB texture over plane-local coordinates (meters).
+
+    Mix of random Fourier features (smooth gradients for the learned
+    frontend) and a checker grid (strong corners for FAST/ORB). Returns
+    float RGB in [0, 1] with shape u.shape + (3,).
+    """
+    rng = np.random.default_rng(seed * 7919 + label * 131)
+    base = rng.uniform(0.25, 0.75, size=3)
+    out = np.broadcast_to(base, u.shape + (3,)).copy()
+    # Random Fourier features per channel
+    for c in range(3):
+        for _ in range(4):
+            fx, fy = rng.uniform(0.5, 6.0, size=2)
+            ph = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(0.03, 0.10)
+            out[..., c] += amp * np.sin(2 * np.pi * (fx * u + fy * v) + ph)
+    # Checker grid with per-plane random phase — sharp corners everywhere
+    cell = rng.uniform(0.18, 0.35)
+    pu, pv = rng.uniform(0, 1, size=2)
+    checker = ((np.floor(u / cell + pu) + np.floor(v / cell + pv)) % 2.0) - 0.5
+    out += 0.22 * checker[..., None]
+    # A sparser, bigger grid overlaid to create multi-scale structure
+    cell2 = cell * 3.7
+    checker2 = ((np.floor(u / cell2 + pv) + np.floor(v / cell2 + pu)) % 2.0) - 0.5
+    out += 0.10 * checker2[..., None]
+    return np.clip(out, 0.0, 1.0)
+
+
+def render_frame(
+    T_wc: np.ndarray,
+    cam: PinholeCamera,
+    planes: List[Plane] | None = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Render one RGB-D + label frame from camera-in-world pose ``T_wc``.
+
+    Returns ``(rgb float32 (H,W,3) in [0,1], depth float32 (H,W) meters,
+    labels int32 (H,W))``.
+    """
+    if planes is None:
+        planes = default_room()
+    H, W = cam.height, cam.width
+    # Pixel grid -> camera-frame ray directions (z forward).
+    u = np.arange(W, dtype=np.float64)
+    v = np.arange(H, dtype=np.float64)
+    uu, vv = np.meshgrid(u, v)
+    dirs_cam = np.stack(
+        [(uu - cam.cx) / cam.fx, (vv - cam.cy) / cam.fy, np.ones_like(uu)], axis=-1
+    )
+    R = T_wc[:3, :3]
+    origin = T_wc[:3, 3]
+    dirs_world = dirs_cam @ R.T  # (H, W, 3)
+
+    best_t = np.full((H, W), np.inf)
+    rgb = np.zeros((H, W, 3), dtype=np.float64)
+    labels = np.full((H, W), CLASS_WALL, dtype=np.int32)
+
+    for plane in planes:
+        a = plane.axis
+        others = [i for i in range(3) if i != a]
+        denom = dirs_world[..., a]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (plane.offset - origin[a]) / denom
+        # In-plane coordinates of the hit
+        p0 = origin[others[0]] + t * dirs_world[..., others[0]]
+        p1 = origin[others[1]] + t * dirs_world[..., others[1]]
+        hit = (
+            (t > 1e-6)
+            & np.isfinite(t)
+            & (p0 >= plane.lo[0])
+            & (p0 <= plane.hi[0])
+            & (p1 >= plane.lo[1])
+            & (p1 <= plane.hi[1])
+            & (t < best_t)
+        )
+        if not hit.any():
+            continue
+        tex = _texture(p0[hit], p1[hit], plane.label, seed)
+        rgb[hit] = tex
+        # depth is the camera-z of the hit point, not the ray length
+        labels[hit] = plane.label
+        best_t = np.where(hit, t, best_t)
+
+    depth = np.where(np.isfinite(best_t), best_t, 0.0)  # dirs_cam z == 1 -> t == depth
+    return rgb.astype(np.float32), depth.astype(np.float32), labels
+
+
+def orbit_trajectory(
+    num_frames: int,
+    radius: float = 0.8,
+    angle_range: float = 0.9,
+    fps: float = 30.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """A smooth desk-inspection arc (camera-in-world poses, world->cam is the
+    inverse). Mimics the fr2/desk motion pattern: slow orbit + gentle bob.
+
+    Returns (timestamps (N,), T_wc (N, 4, 4) float64).
+    """
+    ts = np.arange(num_frames, dtype=np.float64) / fps
+    poses = np.zeros((num_frames, 4, 4))
+    for i in range(num_frames):
+        a = -angle_range / 2 + angle_range * i / max(num_frames - 1, 1)
+        # Camera position orbits the room center at z ~ 0, looking at +z wall
+        pos = np.array(
+            [radius * np.sin(a), 0.15 * np.sin(2.5 * a), -0.5 + 0.25 * np.cos(a)]
+        )
+        yaw = 0.35 * np.sin(a)  # look-direction sways
+        # Constant downward tilt keeps floor + wall + furniture in view
+        # (y is down in the TUM camera convention; floor is at y=+1.5).
+        pitch = -0.25 + 0.08 * np.sin(1.7 * a)
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4)
+        T[:3, :3] = Ry @ Rx
+        T[:3, 3] = pos
+        poses[i] = T
+    return ts, poses
+
+
+@dataclass
+class SyntheticSequence:
+    """A rendered sequence with the same surface as a TUM sequence."""
+
+    cam: PinholeCamera
+    timestamps: np.ndarray
+    poses_wc: np.ndarray  # camera-in-world (N, 4, 4)
+    seed: int = 0
+    planes: List[Plane] = field(default_factory=default_room)
+    name: str = "synthetic_room"
+
+    def __len__(self) -> int:
+        return len(self.timestamps)
+
+    def frame(self, i: int) -> dict:
+        rgb, depth, labels = render_frame(
+            self.poses_wc[i], self.cam, self.planes, self.seed
+        )
+        return {
+            "rgb": rgb,
+            "depth": depth,
+            "labels": labels,
+            "timestamp": float(self.timestamps[i]),
+            "pose_wc": self.poses_wc[i],
+        }
+
+    def frames(self) -> list:
+        return [self.frame(i) for i in range(len(self))]
+
+
+def make_sequence(
+    num_frames: int = 30,
+    cam: PinholeCamera | None = None,
+    scale: float = 0.5,
+    seed: int = 0,
+) -> SyntheticSequence:
+    """Standard test fixture: fr2-intrinsics camera (optionally downscaled
+    for speed) on the orbit trajectory."""
+    if cam is None:
+        cam = TUM_FR2.scaled(scale, scale) if scale != 1.0 else TUM_FR2
+    ts, poses = orbit_trajectory(num_frames)
+    return SyntheticSequence(cam=cam, timestamps=ts, poses_wc=poses, seed=seed)

@@ -1,0 +1,173 @@
+"""Trajectory evaluation: ATE and RPE to evo parity.
+
+In-house implementation of the accuracy contract defined by the
+reference's evaluator (`scripts/evaluate_baseline.py:57-129`):
+
+- timestamp sync by nearest association within 0.01 s (`:51-52`),
+- SE(3) Umeyama alignment *without* scale (`:65-66`),
+- ATE = APE on the translation part, stats {rmse, mean, median, std,
+  min, max} (`:69-81`),
+- RPE at a frame delta with non-overlapping consecutive pairs
+  (``all_pairs=False``), translation norm + rotation angle in degrees
+  (`:84-129`).
+
+Host-side numpy: trajectories are tiny; the value here is bit-level
+agreement with evo so "within 1% ATE RMSE" comparisons are meaningful
+(SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..data.associate import associate_timestamps
+
+
+def sync_trajectories(
+    times_gt: np.ndarray,
+    poses_gt: np.ndarray,
+    times_est: np.ndarray,
+    poses_est: np.ndarray,
+    max_diff: float = 0.01,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Associate two stamped pose arrays by nearest timestamp.
+
+    Returns (times, poses_gt_synced, poses_est_synced).
+    """
+    pairs = associate_timestamps(times_gt, times_est, max_difference=max_diff)
+    if not pairs:
+        raise ValueError("no timestamp associations within max_diff")
+    gi = np.array([i for i, _ in pairs])
+    ei = np.array([j for _, j in pairs])
+    return np.asarray(times_gt)[gi], np.asarray(poses_gt)[gi], np.asarray(poses_est)[ei]
+
+
+def umeyama_alignment(
+    src: np.ndarray, dst: np.ndarray, with_scale: bool = False
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Least-squares rigid (optionally similarity) alignment dst ≈ s R src + t.
+
+    Umeyama (1991) closed form — the algorithm behind evo's
+    ``align(correct_scale=False)``. Points are (N, 3).
+    """
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    src_c = src - mu_s
+    dst_c = dst - mu_d
+    cov = dst_c.T @ src_c / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (src_c**2).sum() / len(src)
+        s = float(np.trace(np.diag(D) @ S) / var_s)
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return R, t, s
+
+
+def _stats(errors: np.ndarray) -> Dict[str, float]:
+    errors = np.asarray(errors, dtype=np.float64)
+    return {
+        "rmse": float(np.sqrt(np.mean(errors**2))),
+        "mean": float(np.mean(errors)),
+        "median": float(np.median(errors)),
+        "std": float(np.std(errors)),
+        "min": float(np.min(errors)),
+        "max": float(np.max(errors)),
+    }
+
+
+def compute_ate(
+    poses_gt: np.ndarray, poses_est: np.ndarray, with_scale: bool = False
+) -> Dict[str, float]:
+    """Absolute trajectory error after Umeyama alignment of the estimated
+    positions onto ground truth (translation-part APE, evo semantics)."""
+    p_gt = np.asarray(poses_gt)[:, :3, 3]
+    p_est = np.asarray(poses_est)[:, :3, 3]
+    R, t, s = umeyama_alignment(p_est, p_gt, with_scale=with_scale)
+    p_aligned = (s * (R @ p_est.T)).T + t
+    errors = np.linalg.norm(p_gt - p_aligned, axis=1)
+    return _stats(errors)
+
+
+def compute_rpe(
+    poses_gt: np.ndarray,
+    poses_est: np.ndarray,
+    delta: int = 10,
+    all_pairs: bool = False,
+) -> Optional[Dict[str, Dict[str, float]]]:
+    """Relative pose error at a frame delta.
+
+    With ``all_pairs=False``, uses the non-overlapping consecutive pairs
+    (0, d), (d, 2d), ... — evo's ``Unit.frames`` behaviour in the
+    reference (`evaluate_baseline.py:97-114`). Returns None when the
+    trajectory is too short, mirroring the reference's failure path
+    (`:130-133`).
+    """
+    poses_gt = np.asarray(poses_gt)
+    poses_est = np.asarray(poses_est)
+    n = len(poses_gt)
+    if all_pairs:
+        pairs = [(i, i + delta) for i in range(n - delta)]
+    else:
+        pairs = [(i, i + delta) for i in range(0, n - delta, delta)]
+    if not pairs:
+        return None
+
+    trans_err = []
+    rot_err_deg = []
+    for i, j in pairs:
+        d_gt = np.linalg.inv(poses_gt[i]) @ poses_gt[j]
+        d_est = np.linalg.inv(poses_est[i]) @ poses_est[j]
+        e = np.linalg.inv(d_gt) @ d_est
+        trans_err.append(np.linalg.norm(e[:3, 3]))
+        cos_a = np.clip((np.trace(e[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        rot_err_deg.append(np.degrees(np.arccos(cos_a)))
+
+    return {
+        "translation": {
+            k: v
+            for k, v in _stats(np.asarray(trans_err)).items()
+            if k in ("rmse", "mean", "median", "std")
+        },
+        "rotation": {
+            k: v
+            for k, v in _stats(np.asarray(rot_err_deg)).items()
+            if k in ("rmse", "mean", "median", "std")
+        },
+    }
+
+
+def evaluate_trajectory(
+    times_gt: np.ndarray,
+    poses_gt: np.ndarray,
+    times_est: np.ndarray,
+    poses_est: np.ndarray,
+    rpe_delta: int = 10,
+    max_diff: float = 0.01,
+) -> Dict:
+    """Full per-sequence evaluation in the result schema of the reference's
+    `evaluate_sequence` (`scripts/evaluate_baseline.py:169-228`)."""
+    _, gt_sync, est_sync = sync_trajectories(
+        times_gt, poses_gt, times_est, poses_est, max_diff=max_diff
+    )
+    result = {
+        "status": "success",
+        "ate": compute_ate(gt_sync, est_sync),
+        "num_poses": int(len(est_sync)),
+        "trajectory_length": float(
+            np.linalg.norm(np.diff(gt_sync[:, :3, 3], axis=0), axis=1).sum()
+        ),
+    }
+    rpe = compute_rpe(gt_sync, est_sync, delta=rpe_delta)
+    if rpe is not None:
+        result["rpe"] = rpe
+    return result

@@ -1,0 +1,185 @@
+"""FAST corner detection as fixed-shape batched XLA ops.
+
+TPU-native replacement for the ORB extractor's FAST stage that the
+reference gets from compiled C++ (`orbslam2_features` in
+`baselines/pyslam/scripts/setup.sh:69-70`; ORB-SLAM3's own extractor,
+SURVEY.md §2.2). The segment test is evaluated for *every* pixel at once
+on the VPU — no early-exit scalar loop, which is exactly the right trade
+on TPU: 16 shifted copies + O(16) boolean ops beat branchy code.
+
+Design notes
+------------
+- The circle neighbourhood is materialized with `jnp.roll` (16 shifted
+  views); borders are invalidated by a margin mask instead of padding.
+- Contiguous-arc-of-9 test: AND-reduce 9 consecutive circle positions
+  for all 16 rotations via a two-level decomposition (AND of 3 ANDs of 3)
+  — 64 boolean ops per polarity instead of 144.
+- Corner score: sum over the circle of |I_p - I_i| - t for positions that
+  pass the polarity test (the OpenCV/ORB-SLAM "sum of absolute diff over
+  the arc" ranking score, computed circle-wide; equal ranking behaviour
+  for NMS purposes).
+- Keypoint extraction is fixed-K: NMS -> masked top-k + validity mask
+  (SURVEY.md §7.3 — no data-dependent shapes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.fixed import masked_topk
+from .image import max_pool_same
+
+# Bresenham circle of radius 3, clockwise from 12 o'clock: (dy, dx).
+FAST_CIRCLE = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+BORDER_MARGIN = 3
+
+
+def _circle_stack(gray: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) -> (16, B, H, W) of circle-neighbour intensities.
+
+    Rolls wrap at the borders; callers mask a >=3 px margin.
+    """
+    views = [
+        jnp.roll(gray, shift=(-int(dy), -int(dx)), axis=(1, 2))
+        for dy, dx in FAST_CIRCLE
+    ]
+    return jnp.stack(views, axis=0)
+
+
+def _arc9_any(bits: jnp.ndarray) -> jnp.ndarray:
+    """True where any 9 contiguous of the 16 circle bits are set.
+
+    bits: (16, ...) bool. Two-level AND decomposition over the doubled
+    (wrap-around) sequence.
+    """
+    # c3[i] = bits[i] & bits[i+1] & bits[i+2]  (circular)
+    b1 = jnp.roll(bits, -1, axis=0)
+    b2 = jnp.roll(bits, -2, axis=0)
+    c3 = bits & b1 & b2
+    # c9[i] = c3[i] & c3[i+3] & c3[i+6]  (circular)
+    c9 = c3 & jnp.roll(c3, -3, axis=0) & jnp.roll(c3, -6, axis=0)
+    return jnp.any(c9, axis=0)
+
+
+def fast_score(gray: jnp.ndarray, threshold: float = 0.08) -> jnp.ndarray:
+    """FAST-9 corner response for every pixel of (B, H, W) in [0, 1] gray.
+
+    Returns (B, H, W) float32; zero where the segment test fails.
+    """
+    circle = _circle_stack(gray)
+    center = gray[None]
+    diff = circle - center
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    is_bright = _arc9_any(brighter)
+    is_dark = _arc9_any(darker)
+    is_corner = is_bright | is_dark
+
+    # Ranking score: sum of margins beyond threshold for the winning
+    # polarity, evaluated over the full circle (VPU-cheap, monotone in
+    # corner strength).
+    bright_score = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
+    dark_score = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+    score = jnp.where(is_bright, bright_score, 0.0) + jnp.where(
+        is_dark, dark_score, 0.0
+    )
+    return jnp.where(is_corner, score, 0.0)
+
+
+def _border_mask(h: int, w: int, margin: int) -> jnp.ndarray:
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    my = (ys >= margin) & (ys < h - margin)
+    mx = (xs >= margin) & (xs < w - margin)
+    return my[:, None] & mx[None, :]
+
+
+class Keypoints(NamedTuple):
+    """Fixed-K keypoint set for a batch of images.
+
+    xy:    (B, K, 2) float32 pixel coordinates (x, y)
+    score: (B, K) float32 detector response
+    valid: (B, K) bool — False slots repeat the best keypoint
+    """
+
+    xy: jnp.ndarray
+    score: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def detect(
+    gray: jnp.ndarray,
+    num_keypoints: int,
+    threshold: float = 0.08,
+    nms_radius: int = 3,
+    margin: int = 16,
+) -> Keypoints:
+    """FAST keypoints with NMS and fixed-K top-k selection.
+
+    ``margin`` should cover the descriptor patch radius (ORB uses 31x31
+    patches -> margin >= 16 keeps descriptor sampling in-bounds).
+    """
+    B, H, W = gray.shape
+    score = fast_score(gray, threshold)
+    # NMS: keep strict local maxima of the score map.
+    pooled = max_pool_same(score, nms_radius)
+    score = jnp.where(score >= pooled, score, 0.0)
+    mask = (score > 0.0) & _border_mask(H, W, max(margin, BORDER_MARGIN))[None]
+
+    flat_score = score.reshape(B, H * W)
+    flat_mask = mask.reshape(B, H * W)
+    values, indices, valid = masked_topk(flat_score, flat_mask, num_keypoints)
+    ys = (indices // W).astype(jnp.float32)
+    xs = (indices % W).astype(jnp.float32)
+    return Keypoints(xy=jnp.stack([xs, ys], axis=-1), score=values, valid=valid)
+
+
+def detect_pyramid(
+    pyramid,
+    num_keypoints: int,
+    threshold: float = 0.08,
+    nms_radius: int = 3,
+    margin: int = 16,
+    scale: float = 1.2,
+) -> Tuple[Keypoints, jnp.ndarray]:
+    """Multi-scale detection over an image pyramid (list of (B, Hi, Wi)).
+
+    Keypoints are distributed uniformly-ish over levels (per-level quota
+    proportional to level area, like ORB-SLAM's per-level nfeatures
+    split), coordinates mapped back to level-0 pixels. Returns
+    (Keypoints at level-0 coords, per-keypoint level indices (B, K)).
+    """
+    n_levels = len(pyramid)
+    areas = np.array([p.shape[1] * p.shape[2] for p in pyramid], dtype=np.float64)
+    quotas = np.maximum((num_keypoints * areas / areas.sum()).astype(int), 1)
+    # Fix rounding so quotas sum exactly to K.
+    quotas[0] += num_keypoints - int(quotas.sum())
+
+    xys, scores, valids, levels = [], [], [], []
+    for lvl, (img, k) in enumerate(zip(pyramid, quotas)):
+        kp = detect(img, int(k), threshold, nms_radius, margin)
+        factor = scale**lvl
+        xys.append(kp.xy * factor)
+        scores.append(kp.score)
+        valids.append(kp.valid)
+        levels.append(jnp.full(kp.score.shape, lvl, dtype=jnp.int32))
+    return (
+        Keypoints(
+            xy=jnp.concatenate(xys, axis=1),
+            score=jnp.concatenate(scores, axis=1),
+            valid=jnp.concatenate(valids, axis=1),
+        ),
+        jnp.concatenate(levels, axis=1),
+    )
