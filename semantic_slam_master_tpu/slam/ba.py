@@ -1,0 +1,208 @@
+"""Local bundle adjustment: Levenberg-Marquardt with a Schur complement.
+
+TPU-native replacement for g2o's sparse BA (SURVEY.md §2.2 "g2o" row:
+"batched Gauss-Newton/Levenberg-Marquardt least-squares solver in JAX;
+dense per-keyframe-window normal equations; Schur complement on
+camera/point blocks; semantic/confidence-weighted residuals").
+
+Problem shape is fixed: ``K`` keyframe cameras, ``M`` landmarks, a dense
+(K, M) observation grid with a validity mask (missing observations are
+masked, not absent — the XLA-friendly encoding of a sparse graph). At
+SLAM window sizes (K <= 8, M <= 1024) the dense normal equations are a
+few MB and every contraction is an einsum the MXU eats.
+
+The residual weight of observation (k, m) is
+``huber(r) * confidence[k, m]`` where confidence carries the semantic
+class weight (e.g. down-weighting dynamic 'person' pixels) and the
+learned uncertainty head's output — the north star's "semantic labels
+weighting the reprojection residuals", which the reference designed but
+never wired in (`models/uncertainty_estimator.py:4`).
+
+Gauge freedom is fixed by a strong prior on camera 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.camera import PinholeCamera, project
+from .pnp import _projection_jacobians, huber_weights
+
+
+class BAProblem(NamedTuple):
+    """A fixed-shape local BA window.
+
+    poses:        (K, 4, 4) world->camera extrinsics
+    points:       (M, 3) world-frame landmarks
+    observations: (K, M, 2) pixel measurements
+    valid:        (K, M) bool — observation exists
+    confidence:   (K, M) float — semantic x uncertainty residual weight
+    obs_depth:    (K, M) measured metric depth of the observation (0 =
+                  no depth). The depth residual is what makes scale
+                  observable — RGB-D BA a la ORB-SLAM's stereo/RGB-D
+                  edge; without it a monocular window has a free scale
+                  gauge even with camera 0 fixed.
+    """
+
+    poses: jnp.ndarray
+    points: jnp.ndarray
+    observations: jnp.ndarray
+    valid: jnp.ndarray
+    confidence: jnp.ndarray
+    obs_depth: jnp.ndarray
+
+    @staticmethod
+    def create(poses, points, observations, valid, confidence=None, obs_depth=None):
+        K, M = valid.shape
+        if confidence is None:
+            confidence = jnp.ones((K, M), dtype=points.dtype)
+        if obs_depth is None:
+            obs_depth = jnp.zeros((K, M), dtype=points.dtype)
+        return BAProblem(poses, points, observations, valid, confidence, obs_depth)
+
+
+class BAResult(NamedTuple):
+    poses: jnp.ndarray
+    points: jnp.ndarray
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+
+
+def _residuals_and_weights(
+    poses, points, observations, valid, confidence, obs_depth, cam,
+    huber_delta, depth_weight,
+):
+    """3-D residuals [du, dv, w_d * dz] per observation.
+
+    Returns (r (K, M, 3), IRLS weights w (K, M), p_cam (K, M, 3),
+    depth_scale (K, M) — the per-observation scale of the z-residual row,
+    zero where no depth measurement exists).
+    """
+    p_cam = jax.vmap(lambda T: lie.transform_points(T, points))(poses)  # (K,M,3)
+    r_uv = project(p_cam, cam) - observations
+    has_depth = obs_depth > 0.05
+    depth_scale = depth_weight * has_depth.astype(p_cam.dtype)
+    r_z = depth_scale * (p_cam[..., 2] - obs_depth)
+    r = jnp.concatenate([r_uv, r_z[..., None]], axis=-1)
+    depth_ok = p_cam[..., 2] > 0.05
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    w = huber_weights(r_norm, huber_delta) * confidence * valid * depth_ok
+    return r, w, p_cam, depth_scale
+
+
+def _robust_cost(r, w):
+    return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+
+def bundle_adjust(
+    problem: BAProblem,
+    cam: PinholeCamera,
+    num_iters: int = 8,
+    huber_delta: float = 3.0,
+    init_lambda: float = 1e-3,
+    gauge_prior: float = 1e8,
+    point_prior: float = 1e-6,
+    depth_weight: float = 30.0,
+) -> BAResult:
+    """Levenberg-Marquardt over (poses, points) with accept/reject damping.
+
+    Per iteration: build the weighted normal equations, eliminate the
+    point blocks (Schur), solve the (6K, 6K) reduced camera system,
+    back-substitute the points, then accept the step iff the robust cost
+    decreased (classic LM lambda schedule: /3 on accept, x5 on reject).
+    """
+    poses0, points0 = problem.poses, problem.points
+    obs, valid, conf = problem.observations, problem.valid, problem.confidence
+    obs_depth = problem.obs_depth
+    K, M = valid.shape
+    eye6 = jnp.eye(6, dtype=poses0.dtype)
+    eye3 = jnp.eye(3, dtype=poses0.dtype)
+
+    def cost_of(poses, points):
+        r, w, _, _ = _residuals_and_weights(
+            poses, points, obs, valid, conf, obs_depth, cam, huber_delta,
+            depth_weight,
+        )
+        return _robust_cost(r, w)
+
+    def lm_step(carry, _):
+        poses, points, lam = carry
+        r, w, p_cam, depth_scale = _residuals_and_weights(
+            poses, points, obs, valid, conf, obs_depth, cam, huber_delta,
+            depth_weight,
+        )
+        cost = _robust_cost(r, w)
+
+        J_proj, _ = _projection_jacobians(p_cam.reshape(K * M, 3), cam)
+        J_proj = J_proj.reshape(K, M, 2, 3)
+        # Third residual row: d(w_d * z)/d(p_cam) = [0, 0, w_d].
+        zrow = jnp.zeros((K, M, 1, 3), dtype=J_proj.dtype).at[..., 0, 2].set(
+            depth_scale
+        )
+        J_proj3 = jnp.concatenate([J_proj, zrow], axis=-2)  # (K, M, 3, 3)
+        # Pose Jacobian via dp/dxi = [I | -hat(p_cam)].
+        I3 = jnp.broadcast_to(eye3, (K, M, 3, 3))
+        Jp = jnp.concatenate([I3, -lie.hat(p_cam)], axis=-1)  # (K, M, 3, 6)
+        A = J_proj3 @ Jp  # (K, M, 3, 6)
+        Rs = poses[:, :3, :3]  # (K, 3, 3)
+        B = jnp.einsum("kmij,kjl->kmil", J_proj3, Rs)  # (K, M, 3, 3)
+
+        # Weighted blocks.
+        Aw = A * w[..., None, None]
+        Bw = B * w[..., None, None]
+        U = jnp.einsum("kmij,kmil->kjl", Aw, A)  # (K, 6, 6)
+        V = jnp.einsum("kmij,kmil->mjl", Bw, B)  # (M, 3, 3)
+        Wb = jnp.einsum("kmij,kmil->kmjl", Aw, B)  # (K, M, 6, 3)
+        g_c = -jnp.einsum("kmij,kmi->kj", Aw, r)  # (K, 6)
+        g_p = -jnp.einsum("kmij,kmi->mj", Bw, r)  # (M, 3)
+
+        # Damping + gauge prior on camera 0 (additive so it stays strong
+        # even at tiny lambda).
+        lam_c = lam + gauge_prior * (jnp.arange(K) == 0).astype(poses.dtype)
+        U = U + lam_c[:, None, None] * eye6
+        V = V + (lam + point_prior) * eye3
+
+        V_inv = jnp.linalg.inv(V)  # (M, 3, 3) batched 3x3
+        WVi = jnp.einsum("kmjl,mlp->kmjp", Wb, V_inv)  # (K, M, 6, 3)
+
+        # Reduced camera system S (K, K, 6, 6), rhs (K, 6).
+        S = -jnp.einsum("amjp,bmlp->abjl", WVi, Wb)
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
+        rhs = g_c - jnp.einsum("kmjp,mp->kj", WVi, g_p)
+
+        S_flat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        delta_c = jnp.linalg.solve(S_flat, rhs.reshape(6 * K)).reshape(K, 6)
+        delta_p = jnp.einsum(
+            "mjl,ml->mj", V_inv, g_p - jnp.einsum("kmjl,kj->ml", Wb, delta_c)
+        )
+
+        finite = jnp.all(jnp.isfinite(delta_c)) & jnp.all(jnp.isfinite(delta_p))
+        delta_c = jnp.where(finite, delta_c, 0.0)
+        delta_p = jnp.where(finite, delta_p, 0.0)
+
+        new_poses = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(delta_c, poses)
+        new_points = points + delta_p
+        new_cost = cost_of(new_poses, new_points)
+
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        lam = jnp.where(accept, lam / 3.0, lam * 5.0)
+        lam = jnp.clip(lam, 1e-8, 1e6)
+        return (poses, points, lam), cost
+
+    init_cost = cost_of(poses0, points0)
+    (poses, points, _), _ = jax.lax.scan(
+        lm_step, (poses0, points0, jnp.asarray(init_lambda, poses0.dtype)), None,
+        length=num_iters,
+    )
+    return BAResult(
+        poses=poses,
+        points=points,
+        initial_cost=init_cost,
+        final_cost=cost_of(poses, points),
+    )

@@ -1,0 +1,233 @@
+"""Pose estimation: weighted Kabsch, robust Gauss-Newton PnP, vmapped RANSAC.
+
+TPU-native replacement for the pose-optimization half of g2o inside the
+reference's baselines (SURVEY.md §2.2 — "PnP + Gauss-Newton/LM pose
+solve"). Design per SURVEY.md §7.3 "RANSAC/PnP on device": no early-exit
+host loops — a *fixed budget* of minimal hypotheses is scored in one
+vmapped batch and the argmax-inlier hypothesis is refined by a fixed
+number of damped Gauss-Newton steps on the SE(3) tangent.
+
+Conventions: ``T`` maps world (or frame-1) points into the camera frame;
+updates are left-multiplied, ``T <- exp(delta) @ T``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.camera import PinholeCamera, project
+
+
+def kabsch(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Weighted closed-form rigid alignment: T with dst ≈ T @ src.
+
+    src, dst: (N, 3); weights: (N,) nonnegative. Returns (4, 4).
+    SVD-based orthogonal Procrustes with reflection guard.
+    """
+    if weights is None:
+        weights = jnp.ones(src.shape[0], dtype=src.dtype)
+    w = weights / jnp.maximum(jnp.sum(weights), 1e-8)
+    mu_s = jnp.sum(src * w[:, None], axis=0)
+    mu_d = jnp.sum(dst * w[:, None], axis=0)
+    src_c = src - mu_s
+    dst_c = dst - mu_d
+    cov = (dst_c * w[:, None]).T @ src_c
+    U, _, Vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(U @ Vt)
+    S = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=src.dtype)).at[2, 2].set(det)
+    R = U @ S @ Vt
+    t = mu_d - R @ mu_s
+    return lie.make_pose(R, t)
+
+
+def reprojection_residuals(
+    T: jnp.ndarray,
+    points: jnp.ndarray,
+    observations: jnp.ndarray,
+    cam: PinholeCamera,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Residuals r = proj(T p) - obs and a positive-depth mask.
+
+    points (N, 3) in the source frame; observations (N, 2) pixels.
+    """
+    p_cam = lie.transform_points(T, points)
+    r = project(p_cam, cam) - observations
+    return r, p_cam[..., 2] > 0.05
+
+
+def _projection_jacobians(
+    p_cam: jnp.ndarray, cam: PinholeCamera
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic Jacobians of the pixel residual.
+
+    Returns (J_point (N, 2, 3), J_pose (N, 2, 6)) where J_pose is w.r.t.
+    a left-multiplied tangent update ``exp([rho, phi]) T`` — the standard
+    dp/dxi = [I | -hat(p)] chain.
+    """
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    zero = jnp.zeros_like(x)
+    # d(uv)/d(p_cam): (N, 2, 3)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([cam.fx * iz, zero, -cam.fx * x * iz2], axis=-1),
+            jnp.stack([zero, cam.fy * iz, -cam.fy * y * iz2], axis=-1),
+        ],
+        axis=-2,
+    )
+    # dp/dxi = [I_3 | -hat(p)]: (N, 3, 6)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), p_cam.shape[:-1] + (3, 3))
+    J_p = jnp.concatenate([I3, -lie.hat(p_cam)], axis=-1)
+    return J_proj, J_proj @ J_p
+
+
+def huber_weights(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weights of the Huber loss (g2o's robust kernel)."""
+    return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-8))
+
+
+class PnPResult(NamedTuple):
+    pose: jnp.ndarray  # (4, 4)
+    num_inliers: jnp.ndarray  # scalar int32
+    inlier_mask: jnp.ndarray  # (N,) bool
+    rmse: jnp.ndarray  # scalar — inlier reprojection rmse (px)
+
+
+def refine_pose(
+    T_init: jnp.ndarray,
+    points: jnp.ndarray,
+    observations: jnp.ndarray,
+    cam: PinholeCamera,
+    weights: jnp.ndarray | None = None,
+    num_iters: int = 10,
+    huber_delta: float = 3.0,
+    damping: float = 1e-4,
+) -> jnp.ndarray:
+    """Damped Gauss-Newton on SE(3) minimizing robust reprojection error.
+
+    ``weights`` are per-observation confidences (semantic / uncertainty
+    weighting hook — the north-star residual weighting; the reference
+    declares but never wires this, `uncertainty_estimator.py:4`).
+    Fixed iteration count -> one XLA while-free unrolled/scan loop.
+    """
+    n = points.shape[0]
+    w_conf = jnp.ones(n, dtype=points.dtype) if weights is None else weights
+
+    def step(T, _):
+        r, depth_ok = reprojection_residuals(T, points, observations, cam)
+        p_cam = lie.transform_points(T, points)
+        _, J_pose = _projection_jacobians(p_cam, cam)
+        r_norm = jnp.linalg.norm(r, axis=-1)
+        w = huber_weights(r_norm, huber_delta) * w_conf * depth_ok
+        # Normal equations: (J^T W J + lambda I) delta = -J^T W r
+        JW = J_pose * w[:, None, None]
+        H = jnp.einsum("nij,nik->jk", JW, J_pose)
+        g = jnp.einsum("nij,ni->j", JW, r)
+        H = H + damping * jnp.eye(6, dtype=H.dtype)
+        delta = -jnp.linalg.solve(H, g)
+        # Guard: reject non-finite updates (singular H on degenerate input).
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros(6))
+        return lie.se3_exp(delta) @ T, None
+
+    T_final, _ = jax.lax.scan(step, T_init, None, length=num_iters)
+    return T_final
+
+
+def count_inliers(
+    T: jnp.ndarray,
+    points: jnp.ndarray,
+    observations: jnp.ndarray,
+    cam: PinholeCamera,
+    valid: jnp.ndarray,
+    threshold: float = 3.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r, depth_ok = reprojection_residuals(T, points, observations, cam)
+    err = jnp.linalg.norm(r, axis=-1)
+    mask = (err < threshold) & depth_ok & valid
+    return jnp.sum(mask), mask
+
+
+def ransac_pose(
+    key: jax.Array,
+    points: jnp.ndarray,
+    points_dst: jnp.ndarray,
+    observations: jnp.ndarray,
+    cam: PinholeCamera,
+    valid: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    num_hypotheses: int = 64,
+    sample_size: int = 3,
+    inlier_threshold: float = 3.0,
+    refine_iters: int = 10,
+) -> PnPResult:
+    """Fixed-budget RANSAC + robust GN polish for RGB-D correspondences.
+
+    points (N, 3): 3D points in the source frame (e.g. backprojected
+    frame-1 / map points). points_dst (N, 3): the same correspondences
+    backprojected in the *destination* frame with its depth — used only
+    for closed-form minimal hypotheses (3-point Kabsch). observations
+    (N, 2): destination-frame pixels used for scoring + refinement, so
+    destination depth noise does not bias the final pose.
+
+    All hypotheses are generated and scored in one vmapped batch; the
+    best-by-inlier-count is refined with all inliers (the TPU-native
+    RANSAC shape, SURVEY.md §7.3).
+    """
+    n = points.shape[0]
+    # Pre-draw sample indices, biased to valid correspondences via
+    # weighted choice on the validity mask.
+    probs = valid.astype(jnp.float32) + 1e-6
+    probs = probs / probs.sum()
+    idx = jax.random.choice(
+        key, n, shape=(num_hypotheses, sample_size), replace=True, p=probs
+    )
+
+    def hypothesis(sample_idx):
+        T = kabsch(points[sample_idx], points_dst[sample_idx])
+        inl, _ = count_inliers(T, points, observations, cam, valid, inlier_threshold)
+        return T, inl
+
+    Ts, inls = jax.vmap(hypothesis)(idx)
+    best = jnp.argmax(inls)
+    T_best = Ts[best]
+
+    # Refine on inliers of the best hypothesis (soft: weight = inlier mask).
+    _, mask = count_inliers(T_best, points, observations, cam, valid, inlier_threshold)
+    w = mask.astype(points.dtype)
+    if weights is not None:
+        w = w * weights
+    T_ref = refine_pose(
+        T_best, points, observations, cam, weights=w, num_iters=refine_iters
+    )
+    # Keep the refinement only if it didn't lose inliers (guards the rare
+    # degenerate-sample polish divergence).
+    inl_ref, mask_ref = count_inliers(
+        T_ref, points, observations, cam, valid, inlier_threshold
+    )
+    inl_best = inls[best]
+    use_ref = inl_ref >= inl_best
+    T_final = jnp.where(use_ref, T_ref, T_best)
+    inl_final = jnp.where(use_ref, inl_ref, inl_best)
+    mask_final = jnp.where(use_ref, mask_ref, mask)
+
+    r, _ = reprojection_residuals(T_final, points, observations, cam)
+    err2 = jnp.sum(r * r, axis=-1)
+    rmse = jnp.sqrt(
+        jnp.sum(err2 * mask_final) / jnp.maximum(jnp.sum(mask_final), 1)
+    )
+    return PnPResult(
+        pose=T_final,
+        num_inliers=inl_final.astype(jnp.int32),
+        inlier_mask=mask_final,
+        rmse=rmse,
+    )

@@ -1,0 +1,308 @@
+"""Full-sequence RGB-D semantic SLAM (config 5 of BASELINE.json).
+
+Internalizes the black box the reference delegates to external C++
+(ORB-SLAM3 / pySLAM driven by shell scripts, SURVEY.md §3.4): map of
+3D landmarks, map-to-frame tracking, keyframe policy, and local bundle
+adjustment — all as one jitted `lax.scan` over per-frame features with
+**fixed-shape ring-buffer state**:
+
+- landmark buffer (M slots): world position, creation descriptor,
+  validity, semantic class weight;
+- keyframe window (W slots): pose + dense (W, M) observation grid for
+  the BA problem (masked, not sparse — the XLA encoding of the graph).
+
+Per frame: match descriptors to the live landmarks (MXU Hamming),
+RANSAC + Gauss-Newton PnP against the map, then — inside `lax.cond` —
+insert a keyframe (new landmarks from unmatched keypoints, observation
+row write, window BA) when tracking support drops below threshold.
+
+The expensive frontend runs batched over ALL frames before the scan
+(see `tracking.extract_features`); the scan body is small dense algebra.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.camera import PinholeCamera, backproject
+from ..ops import matching
+from . import ba, pnp
+from .tracking import FrameFeatures
+
+
+class MapState(NamedTuple):
+    """Fixed-shape SLAM map. M landmark slots, W keyframe slots."""
+
+    # Landmarks
+    positions: jnp.ndarray  # (M, 3) world
+    descriptors: jnp.ndarray  # (M, 8) uint32 ORB at creation
+    lm_valid: jnp.ndarray  # (M,)
+    lm_weight: jnp.ndarray  # (M,) semantic/confidence BA weight
+    write_ptr: jnp.ndarray  # scalar int32 — landmark ring pointer
+    # Keyframe window
+    kf_poses: jnp.ndarray  # (W, 4, 4) world->camera
+    kf_obs: jnp.ndarray  # (W, M, 2)
+    kf_obs_depth: jnp.ndarray  # (W, M)
+    kf_valid: jnp.ndarray  # (W, M)
+    kf_conf: jnp.ndarray  # (W, M)
+    kf_used: jnp.ndarray  # (W,) slot occupied
+    kf_ptr: jnp.ndarray  # scalar int32 — keyframe ring pointer
+
+
+class SlamConfig(NamedTuple):
+    num_landmarks: int = 2048
+    window_size: int = 5
+    num_hypotheses: int = 64
+    min_inliers: int = 15
+    keyframe_min_inlier_ratio: float = 0.4  # new KF when below
+    match_max_distance: float = 64.0
+    ba_iters: int = 4
+    max_depth: float = 10.0
+    depth_weight: float = 30.0
+
+
+class SlamOutput(NamedTuple):
+    poses_wc: jnp.ndarray  # (F, 4, 4)
+    num_inliers: jnp.ndarray  # (F,)
+    num_matches: jnp.ndarray  # (F,)
+    is_keyframe: jnp.ndarray  # (F,) bool
+
+
+def init_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
+    M, W = cfg.num_landmarks, cfg.window_size
+    return MapState(
+        positions=jnp.zeros((M, 3), dtype),
+        descriptors=jnp.zeros((M, 8), jnp.uint32),
+        lm_valid=jnp.zeros((M,), bool),
+        lm_weight=jnp.ones((M,), dtype),
+        write_ptr=jnp.asarray(0, jnp.int32),
+        kf_poses=jnp.tile(jnp.eye(4, dtype=dtype), (W, 1, 1)),
+        kf_obs=jnp.zeros((W, M, 2), dtype),
+        kf_obs_depth=jnp.zeros((W, M), dtype),
+        kf_valid=jnp.zeros((W, M), bool),
+        kf_conf=jnp.ones((W, M), dtype),
+        kf_used=jnp.zeros((W,), bool),
+        kf_ptr=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _insert_landmarks(
+    state: MapState,
+    T_wc: jnp.ndarray,
+    feats,
+    new_mask: jnp.ndarray,
+    weights: jnp.ndarray,
+    cam: PinholeCamera,
+) -> MapState:
+    """Ring-buffer insert of up to N new landmarks from one frame.
+
+    new_mask selects the frame keypoints to promote; each gets the next
+    slot (modulo M) — scatter with precomputed slot indices.
+    """
+    M = state.positions.shape[0]
+    n = feats.xy.shape[0]
+    # slot for the i-th selected keypoint = ptr + rank_i (ranks of ones in
+    # new_mask); unselected keypoints write to a scratch slot M (dropped).
+    ranks = jnp.cumsum(new_mask) - 1
+    slots = jnp.where(new_mask, (state.write_ptr + ranks) % M, M)
+    num_new = jnp.sum(new_mask)
+
+    pts_cam = backproject(feats.xy, feats.depth, cam)
+    pts_world = lie.transform_points(T_wc, pts_cam)
+
+    positions = jnp.zeros((M + 1, 3), state.positions.dtype).at[:M].set(
+        state.positions
+    )
+    positions = positions.at[slots].set(pts_world)[:M]
+    descriptors = jnp.zeros((M + 1, 8), jnp.uint32).at[:M].set(state.descriptors)
+    descriptors = descriptors.at[slots].set(feats.desc)[:M]
+    lm_valid = jnp.zeros((M + 1,), bool).at[:M].set(state.lm_valid)
+    lm_valid = lm_valid.at[slots].set(True)[:M]
+    lm_weight = jnp.ones((M + 1,), state.lm_weight.dtype).at[:M].set(
+        state.lm_weight
+    )
+    lm_weight = lm_weight.at[slots].set(weights)[:M]
+
+    # Newly (re)used slots lose any stale keyframe observations.
+    reused = jnp.zeros((M + 1,), bool).at[slots].set(True)[:M]
+    kf_valid = state.kf_valid & ~reused[None, :]
+
+    return state._replace(
+        positions=positions,
+        descriptors=descriptors,
+        lm_valid=lm_valid,
+        lm_weight=lm_weight,
+        kf_valid=kf_valid,
+        write_ptr=(state.write_ptr + num_new) % M,
+    )
+
+
+def _write_keyframe(
+    state: MapState,
+    T_cw: jnp.ndarray,
+    feats,
+    lm_idx: jnp.ndarray,
+    matched: jnp.ndarray,
+    weights: jnp.ndarray,
+) -> MapState:
+    """Record a keyframe row: observations of matched landmarks."""
+    M = state.positions.shape[0]
+    k = state.kf_ptr
+    obs_row = jnp.zeros((M + 1, 2), state.kf_obs.dtype)
+    obs_row = obs_row.at[jnp.where(matched, lm_idx, M)].set(feats.xy)[:M]
+    depth_row = jnp.zeros((M + 1,), state.kf_obs_depth.dtype)
+    depth_row = depth_row.at[jnp.where(matched, lm_idx, M)].set(feats.depth)[:M]
+    valid_row = jnp.zeros((M + 1,), bool)
+    valid_row = valid_row.at[jnp.where(matched, lm_idx, M)].set(True)[:M]
+    conf_row = jnp.ones((M + 1,), state.kf_conf.dtype)
+    conf_row = conf_row.at[jnp.where(matched, lm_idx, M)].set(weights)[:M]
+
+    return state._replace(
+        kf_poses=state.kf_poses.at[k].set(T_cw),
+        kf_obs=state.kf_obs.at[k].set(obs_row),
+        kf_obs_depth=state.kf_obs_depth.at[k].set(depth_row),
+        kf_valid=state.kf_valid.at[k].set(valid_row),
+        kf_conf=state.kf_conf.at[k].set(conf_row),
+        kf_used=state.kf_used.at[k].set(True),
+        kf_ptr=(state.kf_ptr + 1) % state.kf_used.shape[0],
+    )
+
+
+def _run_local_ba(state: MapState, cam: PinholeCamera, cfg: SlamConfig) -> MapState:
+    """Window BA over the keyframe ring; landmark confidence weighting =
+    kf_conf x lm_weight (semantic term)."""
+    conf = state.kf_conf * state.lm_weight[None, :]
+    valid = state.kf_valid & state.kf_used[:, None] & state.lm_valid[None, :]
+    problem = ba.BAProblem(
+        poses=state.kf_poses,
+        points=state.positions,
+        observations=state.kf_obs,
+        valid=valid,
+        confidence=conf,
+        obs_depth=state.kf_obs_depth,
+    )
+    result = ba.bundle_adjust(
+        problem, cam, num_iters=cfg.ba_iters, depth_weight=cfg.depth_weight
+    )
+    return state._replace(kf_poses=result.poses, positions=result.points)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def run_slam(
+    key: jax.Array,
+    features: FrameFeatures,
+    cam: PinholeCamera,
+    cfg: SlamConfig = SlamConfig(),
+) -> SlamOutput:
+    """Run semantic SLAM over a sequence of per-frame features.
+
+    ``features.valid`` should already encode depth/semantic gating (e.g.
+    keypoints on dynamic objects can be pre-masked by the segmentation
+    model — see models.segmenter).
+    """
+    F = features.xy.shape[0]
+    keys = jax.random.split(key, F)
+
+    state0 = init_map(cfg)
+    # Bootstrap: first frame defines the world; all its valid keypoints
+    # become landmarks and keyframe 0.
+    first = jax.tree.map(lambda x: x[0], features)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    state0 = _insert_landmarks(
+        state0, eye, first, first.valid, jnp.ones_like(first.depth), cam
+    )
+    # Observation row for the bootstrap keyframe: the landmarks it created.
+    n = first.xy.shape[0]
+    lm_idx0 = (jnp.cumsum(first.valid) - 1) % cfg.num_landmarks
+    state0 = _write_keyframe(
+        state0, eye, first, lm_idx0, first.valid, jnp.ones((n,), jnp.float32)
+    )
+
+    def step(carry, inp):
+        state, T_prev_wc = carry
+        k, feats = inp
+
+        # --- data association: frame keypoints vs landmark descriptors ---
+        m = matching.match_hamming(
+            feats.desc,
+            state.descriptors,
+            feats.valid,
+            state.lm_valid,
+            max_distance=cfg.match_max_distance,
+        )
+        lm_idx = m.idx2  # (N,) landmark per keypoint
+        matched = m.valid
+
+        # --- pose: world -> camera via RANSAC(Kabsch) + GN on reprojection ---
+        pts_world = state.positions[lm_idx]
+        pts_cam_meas = backproject(feats.xy, feats.depth, cam)
+        weights = state.lm_weight[lm_idx]
+        result = pnp.ransac_pose(
+            k,
+            pts_world,
+            pts_cam_meas,
+            feats.xy,
+            cam,
+            matched,
+            weights=weights,
+            num_hypotheses=cfg.num_hypotheses,
+        )
+        ok = result.num_inliers >= cfg.min_inliers
+        T_cw = jnp.where(ok, result.pose, lie.pose_inverse(T_prev_wc))
+        T_wc = lie.pose_inverse(T_cw)
+
+        # --- keyframe policy: support ratio below threshold ---
+        n_valid = jnp.maximum(jnp.sum(feats.valid), 1)
+        inlier_ratio = result.num_inliers / n_valid
+        need_kf = ok & (inlier_ratio < cfg.keyframe_min_inlier_ratio)
+
+        def make_keyframe(state):
+            inl = result.inlier_mask
+            # Promote unmatched-but-valid keypoints to new landmarks.
+            new_mask = feats.valid & ~matched
+            state = _insert_landmarks(
+                state, T_wc, feats, new_mask, jnp.ones_like(feats.depth), cam
+            )
+            # New landmarks got consecutive slots; recover their indices
+            # the same way _insert_landmarks assigned them.
+            M = cfg.num_landmarks
+            old_ptr = (state.write_ptr - jnp.sum(new_mask)) % M
+            ranks = jnp.cumsum(new_mask) - 1
+            new_slots = (old_ptr + ranks) % M
+            all_idx = jnp.where(new_mask, new_slots, lm_idx)
+            obs_mask = (matched & inl) | new_mask
+            state = _write_keyframe(
+                state, T_cw, feats, all_idx, obs_mask, weights
+            )
+            return _run_local_ba(state, cam, cfg)
+
+        state = jax.lax.cond(need_kf, make_keyframe, lambda s: s, state)
+
+        out = (
+            T_wc,
+            result.num_inliers,
+            m.count(),
+            need_kf,
+        )
+        return (state, T_wc), out
+
+    rest = jax.tree.map(lambda x: x[1:], features)
+    init = (state0, jnp.eye(4, dtype=jnp.float32))
+    (_, _), (poses, n_inl, n_match, is_kf) = jax.lax.scan(
+        step, init, (keys[1:], rest)
+    )
+
+    eye_b = jnp.eye(4, dtype=jnp.float32)[None]
+    return SlamOutput(
+        poses_wc=jnp.concatenate([eye_b, poses], axis=0),
+        num_inliers=jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), n_inl.astype(jnp.int32)]
+        ),
+        num_matches=jnp.concatenate([jnp.zeros((1,), n_match.dtype), n_match]),
+        is_keyframe=jnp.concatenate([jnp.ones((1,), bool), is_kf]),
+    )

@@ -1,0 +1,142 @@
+"""RGB-D frame-to-frame tracking (visual odometry).
+
+Config 3 of the capability ladder (BASELINE.json): PnP + Gauss-Newton
+pose refinement over ORB matches between consecutive frames. The
+frontend (detect/describe) is embarrassingly parallel and runs batched
+over *all* frames first; the cheap sequential pose chain is a
+`lax.scan` over per-frame features — the decomposition SURVEY.md §2.3
+prescribes for TPU ("frame-pipeline parallelism ... sequentially-
+dependent tracking state remains a small per-sequence carry").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.camera import PinholeCamera, backproject
+from ..ops import fast, image, matching, orb
+from ..ops.sampling import nearest_sample
+from . import pnp
+
+
+class FrameFeatures(NamedTuple):
+    """Per-frame frontend output, batched over frames (F leading axis)."""
+
+    xy: jnp.ndarray  # (F, N, 2)
+    desc: jnp.ndarray  # (F, N, 8) uint32 packed ORB
+    depth: jnp.ndarray  # (F, N) metric depth at keypoints
+    valid: jnp.ndarray  # (F, N)
+    score: jnp.ndarray  # (F, N)
+
+
+def extract_features(
+    gray: jnp.ndarray,
+    depth: jnp.ndarray,
+    num_keypoints: int = 512,
+    threshold: float = 0.05,
+    nms_radius: int = 3,
+) -> FrameFeatures:
+    """Batched ORB frontend: (F, H, W) gray + depth -> FrameFeatures.
+
+    Keypoints with invalid (zero) depth stay in the arrays but are
+    masked — fixed shapes throughout.
+    """
+    blurred = image.gaussian_blur(gray, sigma=2.0, radius=3)
+    kp = fast.detect(gray, num_keypoints, threshold, nms_radius)
+    desc = orb.describe(blurred, kp.xy, prefiltered=True)
+    d = nearest_sample(depth, kp.xy)
+    valid = kp.valid & (d > 0.05) & (d < 15.0)
+    return FrameFeatures(xy=kp.xy, desc=desc, depth=d, valid=valid, score=kp.score)
+
+
+class TrackingResult(NamedTuple):
+    poses_wc: jnp.ndarray  # (F, 4, 4) camera-in-world trajectory
+    num_matches: jnp.ndarray  # (F,) matches to previous frame
+    num_inliers: jnp.ndarray  # (F,) PnP inliers
+    rmse: jnp.ndarray  # (F,) inlier reprojection rmse
+
+
+def _pair_pose(
+    key,
+    feats_prev: FrameFeatures,
+    feats_cur: FrameFeatures,
+    cam: PinholeCamera,
+    max_distance: float = 64.0,
+    num_hypotheses: int = 64,
+):
+    """Relative pose T_cur<-prev from matched backprojected keypoints."""
+    m = matching.match_hamming(
+        feats_prev.desc,
+        feats_cur.desc,
+        feats_prev.valid,
+        feats_cur.valid,
+        max_distance=max_distance,
+    )
+    idx2 = m.idx2
+    pts_prev = backproject(feats_prev.xy, feats_prev.depth, cam)  # (N, 3)
+    xy_cur = feats_cur.xy[idx2]
+    d_cur = feats_cur.depth[idx2]
+    pts_cur = backproject(xy_cur, d_cur, cam)
+    valid = m.valid & (d_cur > 0.05)
+
+    result = pnp.ransac_pose(
+        key,
+        pts_prev,
+        pts_cur,
+        xy_cur,
+        cam,
+        valid,
+        num_hypotheses=num_hypotheses,
+    )
+    return result, m.count()
+
+
+def track_sequence(
+    key: jax.Array,
+    features: FrameFeatures,
+    cam: PinholeCamera,
+    min_inliers: int = 12,
+    num_hypotheses: int = 64,
+) -> TrackingResult:
+    """Chain relative poses over a sequence of per-frame features.
+
+    Scan carry: camera-in-world pose of the previous frame. When a frame
+    fails (inliers < min_inliers) the constant-position model is used
+    (identity relative pose) — the jnp.where analogue of the reference
+    baselines' tracking-loss handling.
+    """
+    F = features.xy.shape[0]
+    keys = jax.random.split(key, F)
+
+    def step(carry, inp):
+        T_prev_wc, prev = carry
+        k, cur = inp
+        result, n_matches = _pair_pose(
+            k, prev, cur, cam, num_hypotheses=num_hypotheses
+        )
+        ok = result.num_inliers >= min_inliers
+        T_rel = jnp.where(ok, result.pose, jnp.eye(4))  # cur <- prev
+        # camera-in-world: T_wc_cur = T_wc_prev @ T_rel^{-1}
+        T_cur_wc = T_prev_wc @ lie.pose_inverse(T_rel)
+        out = (T_cur_wc, n_matches, result.num_inliers, result.rmse)
+        return (T_cur_wc, cur), out
+
+    first = jax.tree.map(lambda x: x[0], features)
+    rest = jax.tree.map(lambda x: x[1:], features)
+    init = (jnp.eye(4, dtype=jnp.float32), first)
+    (_, _), (poses, n_matches, n_inliers, rmse) = jax.lax.scan(
+        step, init, (keys[1:], rest)
+    )
+
+    eye = jnp.eye(4, dtype=jnp.float32)[None]
+    zero = jnp.zeros((1,), dtype=n_matches.dtype)
+    return TrackingResult(
+        poses_wc=jnp.concatenate([eye, poses], axis=0),
+        num_matches=jnp.concatenate([zero, n_matches]),
+        num_inliers=jnp.concatenate([zero.astype(jnp.int32), n_inliers]),
+        rmse=jnp.concatenate([jnp.zeros((1,)), rmse]),
+    )
