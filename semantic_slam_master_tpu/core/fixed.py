@@ -31,7 +31,16 @@ def masked_topk(
     fallback, `keypoint_selector.py:190-199`).
     """
     masked = jnp.where(mask, scores, NEG_INF)
+    n = masked.shape[-1]
+    if k > n:
+        # Fewer candidates than requested: pad the candidate axis with
+        # NEG_INF slots so the fixed-K contract still holds.
+        masked = jnp.concatenate(
+            [masked, jnp.full(masked.shape[:-1] + (k - n,), NEG_INF, masked.dtype)],
+            axis=-1,
+        )
     values, indices = jax.lax.top_k(masked, k)
+    indices = jnp.minimum(indices, n - 1)
     valid = values > NEG_INF / 2
     # Replace invalid slots with the best entry so downstream gathers stay
     # in-bounds and deterministic.

@@ -1,0 +1,217 @@
+"""The self-supervised training losses, vectorized and mask-correct.
+
+Functional re-design of the reference's 8 loss modules
+(`semantic-slam/losses/self_supervised.py`) with identical math and
+default constants, but no per-image Python loops: the InfoNCE loss is
+one masked batched cross-entropy over padded match lists (SURVEY.md
+§7.3 — "the reference's InfoNCE loops per-image; ours must be one
+masked batched CE").
+
+Default weights follow `configs/train_config.yaml:53-60`:
+desc 8.0, repeat 0.3, variance 0.5, peakiness 0.1, activation 0.05,
+edge 0.3, sparsity 0.3.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..ops.image import avg_pool_to, rgb_to_gray, sobel_magnitude
+
+DEFAULT_WEIGHTS: Dict[str, float] = {
+    "desc": 8.0,
+    "repeat": 0.3,
+    "variance": 0.5,
+    "peakiness": 0.1,
+    "activation": 0.05,
+    "edge": 0.3,
+    "sparsity": 0.3,
+}
+
+
+def descriptor_matching_loss(
+    desc1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    pairs: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    temperature: float = 0.10,
+    fallback: float = 0.1,
+) -> jnp.ndarray:
+    """InfoNCE over matched descriptor pairs (reference
+    `DescriptorMatchingLoss`, `self_supervised.py:11-71`).
+
+    desc1/desc2: (B, N, D) L2-normalized. pairs: (B, P, 2) int indices
+    (i into desc1, j into desc2). pair_valid: (B, P).
+
+    For each valid pair, logits = <desc1_i, all desc2> / T clamped to
+    ±50, CE with target j; mean over valid pairs per image, then mean
+    over images that have >= 1 valid pair; `fallback` when none at all.
+    """
+    B, N, D = desc1.shape
+    i_idx = pairs[..., 0]
+    j_idx = pairs[..., 1]
+
+    anchors = jnp.take_along_axis(desc1, i_idx[..., None], axis=1)  # (B, P, D)
+    logits = jnp.einsum("bpd,bnd->bpn", anchors, desc2) / temperature
+    logits = jnp.clip(logits, -50.0, 50.0)
+    logz = jnp.log(jnp.sum(jnp.exp(logits - logits.max(-1, keepdims=True)), -1))
+    logz = logz + logits.max(-1)
+    target_logit = jnp.take_along_axis(logits, j_idx[..., None], axis=-1)[..., 0]
+    ce = logz - target_logit  # (B, P)
+
+    m = pair_valid.astype(ce.dtype)
+    per_image = jnp.sum(ce * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    has_pairs = jnp.sum(m, axis=-1) > 0
+    num_valid_images = jnp.sum(has_pairs)
+    mean_loss = jnp.sum(jnp.where(has_pairs, per_image, 0.0)) / jnp.maximum(
+        num_valid_images, 1
+    )
+    return jnp.where(num_valid_images > 0, mean_loss, fallback)
+
+
+def descriptor_variance_loss(
+    descriptors: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    min_variance: float = 0.005,
+) -> jnp.ndarray:
+    """Hinge on mean per-dimension variance (anti-collapse;
+    `self_supervised.py:74-118`). descriptors: (B, N, D)."""
+    B, N, D = descriptors.shape
+    flat = descriptors.reshape(B * N, D)
+    if valid is None:
+        # unbiased variance, like torch.var default (`:108`)
+        mean = flat.mean(axis=0)
+        var = jnp.sum((flat - mean) ** 2, axis=0) / jnp.maximum(B * N - 1, 1)
+    else:
+        m = valid.reshape(B * N).astype(flat.dtype)
+        cnt = jnp.maximum(jnp.sum(m), 2.0)
+        mean = jnp.sum(flat * m[:, None], axis=0) / cnt
+        var = jnp.sum(((flat - mean) ** 2) * m[:, None], axis=0) / (cnt - 1.0)
+    return jnp.maximum(min_variance - var.mean(), 0.0)
+
+
+def descriptor_decorrelation_loss(descriptors: jnp.ndarray) -> jnp.ndarray:
+    """Barlow-Twins-style off-diagonal penalty (optional in the reference,
+    `self_supervised.py:121-164`)."""
+    B, N, D = descriptors.shape
+    flat = descriptors.reshape(B * N, D)
+    centered = flat - flat.mean(axis=0, keepdims=True)
+    # unbiased std, matching torch.std default in the reference (:149)
+    std = centered.std(axis=0, keepdims=True, ddof=1) + 1e-6
+    normed = centered / std
+    corr = normed.T @ normed / (B * N)
+    off = (corr - jnp.eye(D)) ** 2
+    mask = 1.0 - jnp.eye(D)
+    return jnp.sum(off * mask) / (D * (D - 1))
+
+
+def repeatability_loss(saliency1: jnp.ndarray, saliency2: jnp.ndarray) -> jnp.ndarray:
+    """MSE between the two frames' saliency maps (`:167-183`)."""
+    return jnp.mean((saliency1 - saliency2) ** 2)
+
+
+def peakiness_loss(
+    saliency: jnp.ndarray, target_variance: float = 0.22
+) -> jnp.ndarray:
+    """(mean per-image variance - target)^2 (`:186-200`, biased var)."""
+    B = saliency.shape[0]
+    flat = saliency.reshape(B, -1)
+    var = flat.var(axis=1)
+    return (var.mean() - target_variance) ** 2
+
+
+def activation_loss(saliency: jnp.ndarray, target_mean: float = 0.35) -> jnp.ndarray:
+    """(global mean saliency - target)^2 (`:203-214`)."""
+    return (saliency.mean() - target_mean) ** 2
+
+
+def edge_awareness_loss(
+    saliency: jnp.ndarray, images: jnp.ndarray
+) -> jnp.ndarray:
+    """Negative Pearson correlation between saliency and pooled Sobel edge
+    magnitude (`:217-284`). saliency: (B, h, w[, 1]); images: (B, H, W, 3)
+    channels-last [0-1-ish normalized RGB]."""
+    if saliency.ndim == 4:
+        saliency = saliency[..., 0]
+    B, h, w = saliency.shape
+    gray = rgb_to_gray(images)  # (B, H, W)
+    edge = sobel_magnitude(gray)
+    edge = edge / (edge.max() + 1e-8)  # global max, like the reference (:257)
+    edge_small = avg_pool_to(edge, h, w)
+
+    e = edge_small.reshape(B, -1)
+    s = saliency.reshape(B, -1)
+    ec = e - e.mean(axis=1, keepdims=True)
+    sc = s - s.mean(axis=1, keepdims=True)
+    corr = jnp.sum(ec * sc, axis=1) / (
+        jnp.sqrt(jnp.sum(ec**2, axis=1) * jnp.sum(sc**2, axis=1)) + 1e-8
+    )
+    return -corr.mean()
+
+
+def spatial_sparsity_loss(
+    saliency: jnp.ndarray,
+    target_variation: float = 0.15,
+    high_threshold: float = 0.6,
+    max_high_ratio: float = 0.20,
+    penalty_weight: float = 2.0,
+) -> jnp.ndarray:
+    """Spatial-gradient hinge + high-saliency-ratio penalty (`:287-313`)."""
+    if saliency.ndim == 4:
+        saliency = saliency[..., 0]
+    gx = saliency[:, :, 1:] - saliency[:, :, :-1]
+    gy = saliency[:, 1:, :] - saliency[:, :-1, :]
+    variation = (jnp.abs(gx).mean() + jnp.abs(gy).mean()) / 2.0
+    sparsity = jnp.maximum(target_variation - variation, 0.0)
+    high_ratio = (saliency > high_threshold).mean()
+    penalty = jnp.maximum(high_ratio - max_high_ratio, 0.0) * penalty_weight
+    return sparsity + penalty
+
+
+class LossBundle(NamedTuple):
+    total: jnp.ndarray
+    components: Dict[str, jnp.ndarray]
+
+
+def total_loss(
+    desc1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    pairs: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    saliency1: jnp.ndarray,
+    saliency2: jnp.ndarray,
+    rgb1: jnp.ndarray,
+    weights: Dict[str, float] | None = None,
+    temperature: float = 0.10,
+    min_variance: float = 0.005,
+    target_variance: float = 0.22,
+    target_mean: float = 0.35,
+    sparsity_penalty: float = 2.0,
+) -> LossBundle:
+    """The reference's weighted 7-loss combination (`train.py:331-381`)
+    with its per-loss NaN fallbacks expressed as `where` guards."""
+    w = dict(DEFAULT_WEIGHTS)
+    if weights:
+        w.update(weights)
+
+    def guard(x, fb):
+        return jnp.where(jnp.isfinite(x), x, jnp.asarray(fb, x.dtype))
+
+    comps = {
+        "desc": guard(
+            descriptor_matching_loss(desc1, desc2, pairs, pair_valid, temperature),
+            0.1,
+        ),
+        "variance": guard(descriptor_variance_loss(desc1, min_variance=min_variance), 0.0),
+        "repeat": guard(repeatability_loss(saliency1, saliency2), 0.0),
+        "peakiness": guard(peakiness_loss(saliency1, target_variance), 0.0),
+        "activation": guard(activation_loss(saliency1, target_mean), 0.0),
+        "edge": guard(edge_awareness_loss(saliency1, rgb1), 0.0),
+        "sparsity": guard(
+            spatial_sparsity_loss(saliency1, penalty_weight=sparsity_penalty), 0.0
+        ),
+    }
+    total = sum(w[k] * comps[k] for k in comps)
+    return LossBundle(total=total, components=comps)

@@ -1,0 +1,111 @@
+"""Keypoint saliency head + fixed-K keypoint selection.
+
+The saliency CNN mirrors the reference's 2-layer head exactly
+(`models/keypoint_selector.py:30-34`: Conv3x3 -> ReLU -> Conv1x1 ->
+sigmoid, Xavier(gain=0.5) init).
+
+`select_keypoints` re-designs the reference's host-side fallback cascade
+(`keypoint_selector.py:69-207`: adaptive percentile threshold, NMS,
+top-k, three progressively-lower-threshold retries, pad-with-best) as a
+single fixed-shape ranked top-k: every patch gets a *tier* from the
+percentile ladder [0.50, 0.40, 0.30, 0.20, 0.10] (tier 0 = passes the
+primary threshold after NMS, tier 5 = raw-saliency fallback) and is
+ranked by ``-tier`` then score. One `top_k` then reproduces the
+cascade's selection order without data-dependent shapes (SURVEY.md
+§7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..core.fixed import masked_topk, quantile
+from ..ops.image import max_pool_same
+
+PERCENTILE_LADDER = (0.50, 0.40, 0.30, 0.20, 0.10)
+MIN_THRESHOLDS = (0.1, 0.05, 0.05, 0.05, 0.05)  # reference's floors (:109,141)
+
+
+class KeypointSelector(nn.Module):
+    """Per-patch saliency scores in [0, 1]."""
+
+    hidden_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        """features: (B, H, W, C) patch grid -> saliency (B, H, W, 1)."""
+        x = nn.Conv(
+            self.hidden_dim,
+            kernel_size=(3, 3),
+            padding="SAME",
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="conv1",
+        )(features)
+        x = nn.relu(x)
+        x = nn.Conv(
+            1,
+            kernel_size=(1, 1),
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="conv2",
+        )(x)
+        return nn.sigmoid(x)
+
+
+class SelectedKeypoints(NamedTuple):
+    xy: jnp.ndarray  # (B, K, 2) patch coords (x, y) — reference convention
+    score: jnp.ndarray  # (B, K)
+    valid: jnp.ndarray  # (B, K) — only False for all-NaN degenerate inputs
+
+
+def select_keypoints(
+    saliency: jnp.ndarray,
+    num_keypoints: int = 500,
+    nms_radius: int = 2,
+) -> SelectedKeypoints:
+    """Fixed-K keypoint selection in PATCH coordinates.
+
+    saliency: (B, H, W, 1) or (B, H, W). Selection order matches the
+    reference cascade: NMS survivors above the adaptive 50th-percentile
+    threshold first (by score), then NMS survivors above each lower
+    percentile, finally raw saliency; always exactly K outputs.
+    """
+    if saliency.ndim == 4:
+        saliency = saliency[..., 0]
+    B, H, W = saliency.shape
+    flat = saliency.reshape(B, H * W)
+
+    nms = max_pool_same(saliency, nms_radius)
+    is_peak = saliency >= nms
+    nms_sal = jnp.where(is_peak, saliency, 0.0).reshape(B, H * W)
+
+    # Tier of each patch: lowest ladder index whose threshold it clears
+    # (after NMS); ladder misses fall to the raw-saliency tier.
+    num_tiers = len(PERCENTILE_LADDER)
+    tier = jnp.full((B, H * W), num_tiers, dtype=jnp.float32)
+    for i in reversed(range(num_tiers)):
+        thr = jnp.maximum(
+            quantile(flat, PERCENTILE_LADDER[i], axis=-1), MIN_THRESHOLDS[i]
+        )
+        tier = jnp.where(nms_sal > thr[:, None], float(i), tier)
+
+    # Rank key: primary = tier (lower better), secondary = score within
+    # tier. Tiered patches rank by NMS score, the raw tier by raw score
+    # (the reference's last-resort top-k, :174-184).
+    score_for_rank = jnp.where(tier < num_tiers, nms_sal, flat)
+    rank = -tier * 10.0 + jnp.clip(score_for_rank, 0.0, 1.0)
+
+    values, indices, valid = masked_topk(
+        rank, jnp.ones_like(rank, dtype=bool), num_keypoints
+    )
+    ys = (indices // W).astype(jnp.float32)
+    xs = (indices % W).astype(jnp.float32)
+    scores = jnp.take_along_axis(flat, indices, axis=-1)
+    return SelectedKeypoints(
+        xy=jnp.stack([xs, ys], axis=-1), score=scores, valid=valid
+    )

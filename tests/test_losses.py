@@ -1,0 +1,149 @@
+"""Loss parity tests: our vectorized jnp losses vs direct torch
+transcriptions of the reference's math (losses/self_supervised.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from semantic_slam_master_tpu.losses import self_supervised as L
+
+
+def _unit(rng, *shape):
+    v = rng.normal(size=shape).astype(np.float32)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def test_infonce_matches_torch_reference(rng):
+    B, N, D, P = 3, 40, 16, 25
+    desc1 = _unit(rng, B, N, D)
+    desc2 = _unit(rng, B, N, D)
+    pairs = rng.integers(0, N, size=(B, P, 2))
+    valid = rng.uniform(size=(B, P)) > 0.3
+    temp = 0.10
+
+    # --- torch transcription of DescriptorMatchingLoss.forward (:22-71) ---
+    t1, t2 = torch.from_numpy(desc1), torch.from_numpy(desc2)
+    total, num = 0.0, 0
+    for b in range(B):
+        idx1 = torch.from_numpy(pairs[b, valid[b], 0])
+        idx2 = torch.from_numpy(pairs[b, valid[b], 1])
+        if len(idx1) == 0:
+            continue
+        logits = torch.mm(t1[b][idx1], t2[b].t()) / temp
+        logits = torch.clamp(logits, -50, 50)
+        loss = F.cross_entropy(logits, idx2)
+        total, num = total + loss, num + 1
+    ref = (total / num).item()
+
+    ours = L.descriptor_matching_loss(
+        jnp.asarray(desc1), jnp.asarray(desc2), jnp.asarray(pairs),
+        jnp.asarray(valid), temperature=temp,
+    )
+    assert np.isclose(float(ours), ref, atol=1e-4), (float(ours), ref)
+
+
+def test_infonce_fallback_no_pairs(rng):
+    desc = jnp.asarray(_unit(rng, 2, 10, 8))
+    pairs = jnp.zeros((2, 5, 2), jnp.int32)
+    valid = jnp.zeros((2, 5), bool)
+    out = L.descriptor_matching_loss(desc, desc, pairs, valid)
+    assert np.isclose(float(out), 0.1)  # reference fallback (:71)
+
+
+def test_variance_loss_matches_torch(rng):
+    desc = _unit(rng, 2, 30, 16) * 0.1  # low variance -> hinge active
+    t = torch.from_numpy(desc).reshape(-1, 16)
+    ref = F.relu(torch.tensor(0.005) - t.var(dim=0).mean()).item()
+    ours = L.descriptor_variance_loss(jnp.asarray(desc))
+    assert np.isclose(float(ours), ref, atol=1e-6)
+
+
+def test_decorrelation_loss_matches_torch(rng):
+    desc = rng.normal(size=(2, 20, 8)).astype(np.float32)
+    t = torch.from_numpy(desc).reshape(-1, 8)
+    tc = t - t.mean(dim=0, keepdim=True)
+    tn = tc / (tc.std(dim=0, keepdim=True) + 1e-6)
+    corr = tn.t() @ tn / 40
+    eye = torch.eye(8)
+    ref = (((corr - eye) ** 2) * (1 - eye)).sum().item() / (8 * 7)
+    ours = L.descriptor_decorrelation_loss(jnp.asarray(desc))
+    assert np.isclose(float(ours), ref, atol=1e-5)
+
+
+def test_repeatability_peakiness_activation(rng):
+    s1 = rng.uniform(size=(2, 28, 28, 1)).astype(np.float32)
+    s2 = rng.uniform(size=(2, 28, 28, 1)).astype(np.float32)
+    t1, t2 = torch.from_numpy(s1), torch.from_numpy(s2)
+
+    ref_rep = F.mse_loss(t1.reshape(2, -1), t2.reshape(2, -1)).item()
+    assert np.isclose(float(L.repeatability_loss(jnp.asarray(s1), jnp.asarray(s2))), ref_rep, atol=1e-6)
+
+    var = t1.squeeze(-1).reshape(2, -1).var(dim=1, unbiased=False)
+    ref_peak = ((var.mean() - 0.22) ** 2).item()
+    assert np.isclose(float(L.peakiness_loss(jnp.asarray(s1))), ref_peak, atol=1e-6)
+
+    ref_act = F.mse_loss(t1.mean(), torch.tensor(0.35)).item()
+    assert np.isclose(float(L.activation_loss(jnp.asarray(s1))), ref_act, atol=1e-6)
+
+
+def test_edge_awareness_matches_torch(rng):
+    """Full transcription of EdgeAwarenessLoss.forward (:237-284)."""
+    B, H, W, h, w = 2, 56, 56, 28, 28  # integer pooling ratio
+    rgb = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    sal = rng.uniform(size=(B, h, w, 1)).astype(np.float32)
+
+    timg = torch.from_numpy(rgb).permute(0, 3, 1, 2)  # (B,3,H,W)
+    tsal = torch.from_numpy(sal)
+    gray = 0.299 * timg[:, 0] + 0.587 * timg[:, 1] + 0.114 * timg[:, 2]
+    gray = gray.unsqueeze(1)
+    sx = torch.tensor([[[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]], dtype=torch.float32).unsqueeze(0)
+    sy = torch.tensor([[[-1, -2, -1], [0, 0, 0], [1, 2, 1]]], dtype=torch.float32).unsqueeze(0)
+    gx = F.conv2d(gray, sx, padding=1)
+    gy = F.conv2d(gray, sy, padding=1)
+    mag = torch.sqrt(gx**2 + gy**2 + 1e-8)
+    mag = mag / (mag.max() + 1e-8)
+    ed = F.adaptive_avg_pool2d(mag, (h, w))
+    ef = ed.reshape(B, -1)
+    sf = tsal.squeeze(-1).unsqueeze(1).reshape(B, -1)
+    ecc = ef - ef.mean(dim=1, keepdim=True)
+    scc = sf - sf.mean(dim=1, keepdim=True)
+    corr = (ecc * scc).sum(dim=1) / (
+        torch.sqrt((ecc**2).sum(dim=1) * (scc**2).sum(dim=1)) + 1e-8
+    )
+    ref = (-corr.mean()).item()
+
+    ours = L.edge_awareness_loss(jnp.asarray(sal), jnp.asarray(rgb))
+    assert np.isclose(float(ours), ref, atol=1e-4), (float(ours), ref)
+
+
+def test_sparsity_matches_torch(rng):
+    sal = rng.uniform(size=(2, 28, 28, 1)).astype(np.float32)
+    t = torch.from_numpy(sal).squeeze(-1)
+    gx = t[:, :, 1:] - t[:, :, :-1]
+    gy = t[:, 1:, :] - t[:, :-1, :]
+    variation = (gx.abs().mean() + gy.abs().mean()) / 2
+    ref = (
+        F.relu(torch.tensor(0.15) - variation)
+        + F.relu((t > 0.6).float().mean() - 0.20) * 2.0
+    ).item()
+    ours = L.spatial_sparsity_loss(jnp.asarray(sal))
+    assert np.isclose(float(ours), ref, atol=1e-6)
+
+
+def test_total_loss_weights_and_guards(rng):
+    B, N, D = 2, 20, 8
+    desc = jnp.asarray(_unit(rng, B, N, D))
+    sal = jnp.asarray(rng.uniform(size=(B, 8, 8, 1)).astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(size=(B, 64, 64, 3)).astype(np.float32))
+    pairs = jnp.zeros((B, 4, 2), jnp.int32)
+    valid = jnp.ones((B, 4), bool)
+    bundle = L.total_loss(desc, desc, pairs, valid, sal, sal, rgb)
+    assert set(bundle.components.keys()) == {
+        "desc", "variance", "repeat", "peakiness", "activation", "edge", "sparsity"
+    }
+    manual = sum(
+        L.DEFAULT_WEIGHTS[k] * float(v) for k, v in bundle.components.items()
+    )
+    assert np.isclose(float(bundle.total), manual, rtol=1e-5)
+    assert np.isfinite(float(bundle.total))

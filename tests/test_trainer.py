@@ -1,0 +1,166 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semantic_slam_master_tpu.parallel import mesh as mesh_lib
+from semantic_slam_master_tpu.train import config as config_mod
+from semantic_slam_master_tpu.train import trainer
+
+
+def tiny_config(tmp_path=None):
+    cfg = config_mod.Config()
+    cfg.model.input_size = 64
+    cfg.model.backbone_depth = 2
+    cfg.model.backbone_dim = 64
+    cfg.model.backbone_heads = 2
+    cfg.model.selector_hidden = 32
+    cfg.model.refiner_hidden = 64
+    cfg.model.refiner_layers = 3
+    cfg.model.descriptor_dim = 32
+    cfg.model.estimator_hidden = 32
+    cfg.model.num_keypoints = 16
+    cfg.training.epochs = 2
+    cfg.training.batch_size = 8
+    cfg.training.warmup_epochs = 0
+    if tmp_path is not None:
+        cfg.training.save_dir = str(tmp_path / "ckpt")
+    return cfg
+
+
+def _batch(rng, b=8, size=64):
+    return {
+        "rgb1": rng.normal(size=(b, size, size, 3)).astype(np.float32),
+        "rgb2": rng.normal(size=(b, size, size, 3)).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    mesh = mesh_lib.make_mesh()
+    model, state = trainer.create_train_state(cfg, steps_per_epoch=4)
+    state = mesh_lib.replicate(mesh, state)
+    tx = trainer.build_optimizer(cfg, 4)
+    step = trainer.make_train_step(model, cfg, tx, mesh)
+    return cfg, mesh, model, state, step
+
+
+def test_train_step_runs_and_updates(setup, rng):
+    cfg, mesh, model, state, step = setup
+    batch = mesh_lib.shard_batch(mesh, _batch(rng))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), jax.device_get(state.trainable))
+    state2, out = step(state, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert not bool(out["skipped"])
+    assert int(state2.step) == int(np.asarray(jax.device_get(state2.step)))
+    after = jax.device_get(state2.trainable)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), after, before)
+    assert max(jax.tree.leaves(diffs)) > 0.0
+    # loss component keys mirror the reference's streams (train.py:204-221)
+    for k in ("desc", "variance", "repeat", "peakiness", "activation", "edge",
+              "sparsity", "num_matches", "descriptor_variance"):
+        assert k in out
+
+
+def test_nan_batch_skipped(setup, rng):
+    cfg, mesh, model, state, step = setup
+    batch = _batch(rng)
+    batch["rgb1"][:] = np.nan
+    batch = mesh_lib.shard_batch(mesh, batch)
+    # re-create state because the previous test's step donated it
+    model2, state = trainer.create_train_state(cfg, steps_per_epoch=4)
+    state = mesh_lib.replicate(mesh, state)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), jax.device_get(state.trainable))
+    state2, out = step(state, batch)
+    assert bool(out["skipped"])
+    after = jax.device_get(state2.trainable)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), after, before)
+    assert max(jax.tree.leaves(diffs)) == 0.0  # params untouched
+    assert int(jax.device_get(state2.step)) == 1  # step still counts
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = tiny_config(tmp_path)
+    model, state = trainer.create_train_state(cfg, steps_per_epoch=2)
+    trainer.save_checkpoint(tmp_path / "ck", jax.device_get(state), {"epoch": 3})
+    # perturb, then restore
+    import dataclasses
+
+    perturbed = dataclasses.replace(
+        state, trainable=jax.tree.map(lambda x: x + 1.0, state.trainable)
+    )
+    restored, meta = trainer.restore_checkpoint(tmp_path / "ck", perturbed)
+    diff = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        restored.trainable,
+        state.trainable,
+    )
+    assert max(jax.tree.leaves(diff)) == 0.0
+    assert meta["epoch"] == 3
+
+
+def test_fit_saves_best(tmp_path, rng):
+    cfg = tiny_config(tmp_path)
+    cfg.training.epochs = 2
+
+    def train_batches(epoch):
+        for _ in range(2):
+            yield _batch(rng)
+
+    def val_batches():
+        r = np.random.default_rng(42)  # fixed val set
+        yield _batch(r)
+
+    state, history = trainer.fit(
+        cfg, train_batches, val_batches, steps_per_epoch=2
+    )
+    assert len(history["train"]) == 2
+    assert len(history["val"]) == 2
+    assert (tmp_path / "ckpt" / "best_model").exists()
+    assert np.isfinite(history["train"][-1]["loss"])
+
+
+def test_config_loads_reference_yaml(tmp_path):
+    """The reference's train_config.yaml keys load without loss."""
+    yaml_text = """
+model:
+  input_size: 448
+  num_keypoints: 500
+  selector_hidden: 256
+  descriptor_dim: 128
+  refiner_hidden: 384
+  refiner_layers: 4
+dataset:
+  root: "data/tum_rgbd"
+  train_sequences: ["rgbd_dataset_freiburg1_desk"]
+  frame_spacing: 1
+  augmentation:
+    enabled: true
+    brightness: 0.2
+loss:
+  weights:
+    desc: 8.0
+    repeat: 0.3
+    variance: 0.5
+    peakiness: 0.1
+    activation: 0.05
+    edge: 0.3
+    sparsity: 0.3
+  desc_temperature: 0.10
+training:
+  epochs: 60
+  batch_size: 4
+  lr: 1e-4
+  lr_min: 1e-6
+  grad_clip: 1.0
+logging:
+  use_wandb: false
+"""
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml_text)
+    cfg = config_mod.load_config(p)
+    assert cfg.model.num_keypoints == 500
+    assert cfg.loss.weights["desc"] == 8.0
+    assert cfg.training.lr == 1e-4
+    assert cfg.dataset.augmentation.brightness == 0.2
