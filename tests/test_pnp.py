@@ -38,7 +38,8 @@ def _pose_err(T_est, T_gt):
     return t_err, r_err
 
 
-def test_kabsch_exact(rng):
+def test_kabsch_exact():
+    rng = np.random.default_rng(7)  # fixed: shared rng makes f32 SVD flaky
     pts, pts_dst, _, T_gt = _scene(rng, n=10)
     T = pnp.kabsch(pts, pts_dst)
     t_err, r_err = _pose_err(T, T_gt)
@@ -46,7 +47,8 @@ def test_kabsch_exact(rng):
     assert t_err < 1e-4 and r_err < 2e-3
 
 
-def test_kabsch_weighted_ignores_outliers(rng):
+def test_kabsch_weighted_ignores_outliers():
+    rng = np.random.default_rng(11)
     pts, pts_dst, _, T_gt = _scene(rng, n=20)
     pts_dst = pts_dst.at[0].add(jnp.asarray([5.0, 5.0, 5.0]))
     w = jnp.ones(20).at[0].set(0.0)
