@@ -1,0 +1,367 @@
+"""The reference's four-test acceptance suite, runnable on any frontend.
+
+Mirrors `semantic-slam/test/{test_repeatability, test_descriptor_quality,
+test_tracking, test_performance}.py` and the master runner
+`run_all_tests.py` (difficulty presets `:75-80`, train/test-overlap
+guard `:38-60`) — over either the ORB frontend or a trained learned
+frontend, on TUM sequences or the synthetic world.
+
+One deliberate correction: the reference warps frame-1 keypoints with
+``T2 @ T1^{-1}`` built from camera-to-world poses
+(`test_repeatability.py:186-192`), but the cam1->cam2 transform is
+``T2^{-1} @ T1``; we use the correct form (for the reference's small
+inter-frame rotations the difference is tiny, which is why its numbers
+were still meaningful).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.camera import PinholeCamera
+from . import metrics
+
+DIFFICULTY_PRESETS = {
+    "easy": {"spacings": (1,), "min_matches": 30, "num_pairs": 10},
+    "normal": {"spacings": (1, 5), "min_matches": 50, "num_pairs": 20},
+    "hard": {"spacings": (1, 5, 10), "min_matches": 50, "num_pairs": 30},
+    "extreme": {"spacings": (1, 5, 10, 20), "min_matches": 60, "num_pairs": 50},
+}
+
+
+@dataclass
+class FrontendAdapter:
+    """Uniform view of a feature frontend for the acceptance tests.
+
+    extract(rgb) -> dict with 'xy' (F, N, 2) pixel keypoints,
+    'desc' (F, N, D), 'valid' (F, N); rgb is (F, H, W, 3) float [0, 1].
+    match(i, j, feats) -> (pred_matches (K, 2) int array, counts) between
+    frames i and j of an extract() result.
+    """
+
+    name: str
+    extract: Callable[[np.ndarray], Dict[str, np.ndarray]]
+    match: Callable[[Dict[str, np.ndarray], int, int], np.ndarray]
+    stages: Optional[Callable[[np.ndarray], Dict[str, Callable]]] = None
+
+
+def orb_adapter(
+    num_keypoints: int = 500, threshold: float = 0.05, max_distance: float = 64.0
+) -> FrontendAdapter:
+    """The classic ORB frontend (ops.fast + ops.orb + Hamming matching)."""
+    import jax.numpy as jnp
+
+    from ..ops import fast, image, matching, orb
+    from ..slam import tracking
+
+    def extract(rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        gray = image.rgb_to_gray(jnp.asarray(rgb))
+        blurred = image.gaussian_blur(gray, sigma=2.0, radius=3)
+        kp = fast.detect(gray, num_keypoints, threshold)
+        desc = orb.describe(blurred, kp.xy, prefiltered=True)
+        return {
+            "xy": np.asarray(kp.xy),
+            "desc": np.asarray(desc),
+            "valid": np.asarray(kp.valid),
+        }
+
+    def match(feats: Dict[str, np.ndarray], i: int, j: int) -> np.ndarray:
+        import jax.numpy as jnp
+
+        m = matching.match_hamming(
+            jnp.asarray(feats["desc"][i]),
+            jnp.asarray(feats["desc"][j]),
+            jnp.asarray(feats["valid"][i]),
+            jnp.asarray(feats["valid"][j]),
+            max_distance=max_distance,
+        )
+        valid = np.asarray(m.valid)
+        idx1 = np.where(valid)[0]
+        return np.stack([idx1, np.asarray(m.idx2)[idx1]], axis=1)
+
+    def stages(rgb: np.ndarray) -> Dict[str, Callable]:
+        gray = image.rgb_to_gray(jnp.asarray(rgb))
+        blurred = image.gaussian_blur(gray, sigma=2.0, radius=3)
+        kp = fast.detect(gray, num_keypoints, threshold)
+        desc = orb.describe(blurred, kp.xy, prefiltered=True)
+        return {
+            "fast_detect": lambda: fast.detect(gray, num_keypoints, threshold).xy,
+            "orb_describe": lambda: orb.describe(blurred, kp.xy, prefiltered=True),
+            "hamming_match": lambda: matching.match_hamming(desc, desc).idx2,
+        }
+
+    return FrontendAdapter("orb", extract, match, stages)
+
+
+def learned_adapter(
+    model, variables, ratio: float = 0.9, min_similarity: float | None = None
+) -> FrontendAdapter:
+    """A trained LearnedFrontend as an adapter (cosine matching with the
+    reference's mutual-NN + ratio semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import matching
+
+    apply = jax.jit(lambda v, x: model.apply(v, x))
+
+    def extract(rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        out = apply(variables, jnp.asarray(rgb))
+        return {
+            "xy": np.asarray(out.keypoints_px),
+            "desc": np.asarray(out.descriptors),
+            "valid": np.asarray(out.valid),
+            "scores": np.asarray(out.scores),
+            "confidence": np.asarray(out.confidence),
+        }
+
+    def match(feats: Dict[str, np.ndarray], i: int, j: int) -> np.ndarray:
+        m = matching.match_cosine(
+            jnp.asarray(feats["desc"][i]),
+            jnp.asarray(feats["desc"][j]),
+            jnp.asarray(feats["valid"][i]),
+            jnp.asarray(feats["valid"][j]),
+            ratio=ratio,
+            min_similarity=min_similarity,
+        )
+        valid = np.asarray(m.valid)
+        idx1 = np.where(valid)[0]
+        return np.stack([idx1, np.asarray(m.idx2)[idx1]], axis=1)
+
+    def stages(rgb: np.ndarray) -> Dict[str, Callable]:
+        from ..models.frontend import LearnedFrontend
+        from ..models.selector import select_keypoints
+
+        imgs = jnp.asarray(rgb)
+        feats, sal = model.apply(
+            variables, imgs, method=LearnedFrontend.features_and_saliency
+        )
+        kp = select_keypoints(sal, model.num_keypoints)
+        return {
+            "backbone": lambda: model.apply(
+                variables, imgs, method=LearnedFrontend.features_and_saliency
+            )[0],
+            "select_keypoints": lambda: select_keypoints(sal, model.num_keypoints).xy,
+            "describe_refine": lambda: model.apply(
+                variables, feats, kp.xy, method=LearnedFrontend.describe_at
+            )[1],
+        }
+
+    return FrontendAdapter("learned", extract, match, stages)
+
+
+# ---------------------------------------------------------------------------
+# Sequence access
+# ---------------------------------------------------------------------------
+
+
+def _relative_cam_transform(pose1_wc: np.ndarray, pose2_wc: np.ndarray) -> np.ndarray:
+    """cam1 -> cam2 transform from camera-in-world poses."""
+    return np.linalg.inv(pose2_wc) @ pose1_wc
+
+
+def _frame_pairs(seq, spacing: int, num_pairs: int):
+    n = len(seq) if not hasattr(seq, "num_frames") else seq.num_frames()
+    max_start = n - spacing
+    if max_start <= 0:
+        return []
+    starts = np.linspace(0, max_start - 1, min(num_pairs, max_start)).astype(int)
+    return [(int(s), int(s + spacing)) for s in starts]
+
+
+def _scaled_K(cam: PinholeCamera) -> np.ndarray:
+    return np.array(
+        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], dtype=np.float64
+    )
+
+
+def _gt_warp(fi: Dict, fj: Dict, kpts1: np.ndarray, K: np.ndarray):
+    """Warp frame-i keypoints into frame j: exact depth reprojection when
+    the frame carries a depth map, rotation-only homography otherwise
+    (the reference's approximation)."""
+    T_12 = _relative_cam_transform(fi["pose_wc"], fj["pose_wc"])
+    if "depth" in fi:
+        return metrics.reproject_with_depth(kpts1, fi["depth"], T_12, K)
+    H = metrics.rotation_homography_np(K, T_12)
+    warped = metrics.warp_points(H, np.asarray(kpts1, dtype=np.float64))
+    return warped, np.ones(len(warped), dtype=bool)
+
+
+# ---------------------------------------------------------------------------
+# The four tests
+# ---------------------------------------------------------------------------
+
+
+def run_repeatability_test(
+    seq,
+    adapter: FrontendAdapter,
+    spacing: int = 1,
+    num_pairs: int = 20,
+    threshold_px: float = 3.0,
+) -> Dict:
+    """`test_repeatability.py` semantics; target >= 60%."""
+    pairs = _frame_pairs(seq, spacing, num_pairs)
+    K = _scaled_K(seq.cam)
+    results = []
+    for i, j in pairs:
+        fi, fj = seq.frame(i), seq.frame(j)
+        feats = adapter.extract(np.stack([fi["rgb"], fj["rgb"]]))
+        k1 = feats["xy"][0][feats["valid"][0]]
+        k2 = feats["xy"][1][feats["valid"][1]]
+        warped, visible = _gt_warp(fi, fj, k1, K)
+        inb = (
+            visible
+            & (warped[:, 0] >= 0) & (warped[:, 0] < seq.cam.width)
+            & (warped[:, 1] >= 0) & (warped[:, 1] < seq.cam.height)
+        )
+        results.append(metrics.nn_agreement(warped[inb], k2, threshold_px))
+    reps = [r["repeatability"] for r in results]
+    return {
+        "test": "repeatability",
+        "spacing": spacing,
+        "num_pairs": len(results),
+        "mean_repeatability": float(np.mean(reps)) if reps else 0.0,
+        "std_repeatability": float(np.std(reps)) if reps else 0.0,
+        "median_repeatability": float(np.median(reps)) if reps else 0.0,
+        "target": metrics.DEFAULT_TARGETS["repeatability"],
+        "passed": bool(reps and np.mean(reps) >= metrics.DEFAULT_TARGETS["repeatability"]),
+        "per_pair": results,
+    }
+
+
+def run_descriptor_quality_test(
+    seq,
+    adapter: FrontendAdapter,
+    spacing: int = 1,
+    num_pairs: int = 20,
+    threshold_px: float = 3.0,
+) -> Dict:
+    """`test_descriptor_quality.py` semantics; targets inlier >= 80%,
+    precision >= 70%."""
+    pairs = _frame_pairs(seq, spacing, num_pairs)
+    K = _scaled_K(seq.cam)
+    per_pair = []
+    for i, j in pairs:
+        fi, fj = seq.frame(i), seq.frame(j)
+        feats = adapter.extract(np.stack([fi["rgb"], fj["rgb"]]))
+        k1, k2 = feats["xy"][0], feats["xy"][1]
+        warped, visible = _gt_warp(fi, fj, k1, K)
+        pred = adapter.match(feats, 0, 1)
+        gt = metrics.gt_matches_from_warp(warped, visible, k2, threshold_px)
+        per_pair.append(
+            metrics.match_quality_from_warp(pred, gt, warped, k2, threshold_px)
+        )
+    agg = {
+        k: float(np.mean([p[k] for p in per_pair])) if per_pair else 0.0
+        for k in ("precision", "recall", "f1", "inlier_ratio", "num_matches")
+    }
+    return {
+        "test": "descriptor_quality",
+        "spacing": spacing,
+        "num_pairs": len(per_pair),
+        **agg,
+        "targets": {
+            "inlier_ratio": metrics.DEFAULT_TARGETS["inlier_ratio"],
+            "precision": metrics.DEFAULT_TARGETS["precision"],
+        },
+        "passed": bool(
+            per_pair
+            and agg["inlier_ratio"] >= metrics.DEFAULT_TARGETS["inlier_ratio"]
+            and agg["precision"] >= metrics.DEFAULT_TARGETS["precision"]
+        ),
+        "per_pair": per_pair,
+    }
+
+
+def run_tracking_test(
+    seq,
+    adapter: FrontendAdapter,
+    spacing: int = 1,
+    max_frames: int = 100,
+    min_matches: int = 50,
+) -> Dict:
+    """`test_tracking.py` semantics; target success rate >= 90%."""
+    n = len(seq) if not hasattr(seq, "num_frames") else seq.num_frames()
+    idxs = list(range(0, min(n, max_frames * spacing), spacing))
+    rgb = np.stack([seq.frame(i)["rgb"] for i in idxs])
+    feats = adapter.extract(rgb)
+    counts = []
+    for t in range(len(idxs) - 1):
+        pred = adapter.match(feats, t, t + 1)
+        counts.append(len(pred))
+    result = metrics.tracking_success(counts, min_matches)
+    return {
+        "test": "tracking",
+        "spacing": spacing,
+        **result,
+        "target": metrics.DEFAULT_TARGETS["tracking_success"],
+        "passed": bool(
+            result["success_rate"] >= metrics.DEFAULT_TARGETS["tracking_success"]
+        ),
+    }
+
+
+def run_performance_test(
+    seq, adapter: FrontendAdapter, batch: int = 1
+) -> Dict:
+    """`test_performance.py` semantics; target >= 20 FPS (the reference's
+    RTX-5070 bar — trivially exceeded on TPU, kept for parity)."""
+    rgb = np.stack([seq.frame(i % len(seq))["rgb"] for i in range(batch)])
+    if adapter.stages is None:
+        return {"test": "performance", "skipped": "adapter has no stage harness"}
+    stage_results = metrics.benchmark_stages(adapter.stages(rgb))
+    fps = stage_results["total"]["fps"] * batch
+    return {
+        "test": "performance",
+        "batch": batch,
+        "stages": stage_results,
+        "fps": fps,
+        "target": metrics.DEFAULT_TARGETS["fps"],
+        "passed": bool(fps >= metrics.DEFAULT_TARGETS["fps"]),
+    }
+
+
+def check_sequence_overlap(
+    test_sequences: Sequence[str], train_sequences: Sequence[str]
+) -> List[str]:
+    """The reference's data-hygiene guard (`run_all_tests.py:38-60`):
+    returns test sequences that were trained on (inflated results)."""
+    return sorted(set(test_sequences) & set(train_sequences))
+
+
+def run_all(
+    seq,
+    adapter: FrontendAdapter,
+    difficulty: str = "normal",
+    with_performance: bool = True,
+) -> Dict:
+    """The master runner (`run_all_tests.py`) over one sequence source."""
+    preset = DIFFICULTY_PRESETS[difficulty]
+    results: Dict = {"difficulty": difficulty, "frontend": adapter.name}
+    results["repeatability"] = [
+        run_repeatability_test(seq, adapter, spacing=s, num_pairs=preset["num_pairs"])
+        for s in preset["spacings"]
+    ]
+    results["descriptor_quality"] = run_descriptor_quality_test(
+        seq, adapter, num_pairs=preset["num_pairs"]
+    )
+    results["tracking"] = [
+        run_tracking_test(seq, adapter, spacing=s, min_matches=preset["min_matches"])
+        for s in preset["spacings"]
+    ]
+    if with_performance:
+        results["performance"] = run_performance_test(seq, adapter)
+    results["all_passed"] = all(
+        r["passed"]
+        for r in (
+            results["repeatability"]
+            + [results["descriptor_quality"]]
+            + results["tracking"]
+            + ([results["performance"]] if with_performance else [])
+        )
+        if "passed" in r
+    )
+    return results
