@@ -52,15 +52,20 @@ def run_sequence(seq, out_path: Path, args) -> dict:
 
     n = seq.num_frames() if hasattr(seq, "num_frames") else len(seq)
     t0 = time.perf_counter()
-    rgbs, depths = [], []
-    for i in range(n):
-        f = seq.frame(i)
-        rgbs.append(
-            0.299 * f["rgb"][..., 0] + 0.587 * f["rgb"][..., 1] + 0.114 * f["rgb"][..., 2]
-        )
-        depths.append(f["depth"])
-    gray_np = np.stack(rgbs).astype(np.float32)
-    depth_np = np.stack(depths).astype(np.float32)
+    if hasattr(seq, "load_all_gray_depth"):
+        # TUM directory: threaded native C++ PNG decode of the sequence.
+        gray_np, depth_np = seq.load_all_gray_depth()
+    else:
+        rgbs, depths = [], []
+        for i in range(n):
+            f = seq.frame(i)
+            rgbs.append(
+                0.299 * f["rgb"][..., 0] + 0.587 * f["rgb"][..., 1]
+                + 0.114 * f["rgb"][..., 2]
+            )
+            depths.append(f["depth"])
+        gray_np = np.stack(rgbs).astype(np.float32)
+        depth_np = np.stack(depths).astype(np.float32)
     t_decode = time.perf_counter() - t0
 
     t0 = time.perf_counter()

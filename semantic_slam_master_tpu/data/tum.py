@@ -239,6 +239,11 @@ class TUMSequence:
     def __len__(self) -> int:
         return max(0, len(self.rgb_files) - self.frame_spacing)
 
+    @property
+    def cam(self) -> PinholeCamera:
+        """Unified camera accessor (same attribute as SyntheticSequence)."""
+        return self.camera
+
     def num_frames(self) -> int:
         return len(self.rgb_files)
 
@@ -253,6 +258,25 @@ class TUMSequence:
 
         raw = np.asarray(Image.open(self.depth_files[i]), dtype=np.float32)
         return raw / self.camera.depth_scale  # ÷5000 (`tum_dataset.py:139-140`)
+
+    def load_all_gray_depth(self, num_threads: int = 8):
+        """Decode the whole sequence with the native C++ loader (PIL
+        fallback): returns (gray (N, H, W) float32, depth (N, H, W)
+        float32 meters) at native resolution."""
+        from . import native_io
+
+        rgb, depth = native_io.load_batch(
+            self.rgb_files,
+            self.depth_files,
+            width=self.camera.width,
+            height=self.camera.height,
+            depth_scale=self.camera.depth_scale,
+            num_threads=num_threads,
+        )
+        gray = (
+            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        ).astype(np.float32)
+        return gray, depth
 
     def frame(self, i: int) -> Dict[str, np.ndarray]:
         out = {
