@@ -5,13 +5,21 @@ Measures the batched ORB frontend + brute-force Hamming matching pipeline
 (detect -> describe -> match, the per-frame work of the SLAM system) on
 640x480 RGB-D frames with the TUM fr2 camera, on one chip.
 
+Methodology: the pipeline step is repeated inside ONE jitted `lax.scan`
+with a loop-carried salt (so XLA cannot hoist it), and the quoted time is
+the *marginal* cost per iteration between a short and a long run — this
+cancels dispatch/tunnel/transfer overhead exactly and forces a real
+device sync by fetching the reduced scalar. (Naive block_until_ready
+timing is unreliable on tunneled backends and over-reports throughput by
+>10x.)
+
 Baseline for ``vs_baseline``: the CPU pySLAM baseline the north star
 names (BASELINE.json: ">=10x frames/sec over the CPU pySLAM baseline on
 TUM fr2/desk"). pySLAM's Python+C++ frontend tracks at roughly 15 FPS on
-640x480 TUM sequences on a desktop CPU; that figure is used as the
-denominator and recorded below. Frames are the deterministic synthetic
-fr2-camera renders (no dataset download in this container); the compute
-is shape-identical to real fr2/desk frames.
+640x480 TUM sequences on a desktop CPU; that figure is the denominator.
+Frames are deterministic synthetic fr2-camera renders (no dataset
+download in this container); the compute is shape-identical to real
+fr2/desk frames.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
@@ -25,60 +33,74 @@ import numpy as np
 PYSLAM_CPU_FPS_BASELINE = 15.0
 BATCH = 8
 NUM_KEYPOINTS = 1000
-WIDTH, HEIGHT = 640, 480
-WARMUP_ITERS = 3
-MEASURE_ITERS = 10
+ITERS = 40
+BASE_ITERS = 8
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from semantic_slam_master_tpu.data import synthetic
     from semantic_slam_master_tpu.core.camera import TUM_FR2
-    from semantic_slam_master_tpu.ops import image, matching
+    from semantic_slam_master_tpu.data import synthetic
+    from semantic_slam_master_tpu.ops import matching
     from semantic_slam_master_tpu.slam import tracking
 
-    # --- build a batch of full-res synthetic fr2 frames (host side) ---
     seq = synthetic.make_sequence(num_frames=BATCH + 1, cam=TUM_FR2)
     frames = seq.frames()
     gray_np = np.stack(
-        [0.299 * f["rgb"][..., 0] + 0.587 * f["rgb"][..., 1] + 0.114 * f["rgb"][..., 2] for f in frames]
+        [
+            0.299 * f["rgb"][..., 0] + 0.587 * f["rgb"][..., 1] + 0.114 * f["rgb"][..., 2]
+            for f in frames
+        ]
     ).astype(np.float32)
     depth_np = np.stack([f["depth"] for f in frames]).astype(np.float32)
 
-    gray_a = jnp.asarray(gray_np[:BATCH])
-    gray_b = jnp.asarray(gray_np[1 : BATCH + 1])
-    depth_a = jnp.asarray(depth_np[:BATCH])
-    depth_b = jnp.asarray(depth_np[1 : BATCH + 1])
+    gray_all = jnp.asarray(gray_np)  # (B+1, H, W)
+    depth_all = jnp.asarray(depth_np)
 
-    @jax.jit
-    def frontend_step(g0, d0, g1, d1):
-        """Per-frame SLAM frontend work for a batch of frame pairs:
-        extract features on the new frames + match to the previous ones."""
-        f0 = tracking.extract_features(g0, d0, num_keypoints=NUM_KEYPOINTS)
-        f1 = tracking.extract_features(g1, d1, num_keypoints=NUM_KEYPOINTS)
-        m = matching.match_hamming(
-            f0.desc, f1.desc, f0.valid, f1.valid, max_distance=64.0
+    def step(gray_all, depth_all):
+        """One SLAM-frontend step over a batch of BATCH new frames:
+        extract features and match each frame against its predecessor's
+        features (which a running SLAM system already has — here the
+        predecessor batch is offset by one frame, so the extract is
+        counted once per new frame, like the real pipeline)."""
+        f1 = tracking.extract_features(
+            gray_all[1:], depth_all[1:], num_keypoints=NUM_KEYPOINTS
         )
-        return m.count(), f1.xy.sum()
+        prev = jax.tree.map(lambda x: jnp.roll(x, 1, axis=0), f1)
+        m = matching.match_hamming(
+            prev.desc, f1.desc, prev.valid, f1.valid, max_distance=64.0
+        )
+        return m.score
 
-    # warmup + compile
-    for _ in range(WARMUP_ITERS):
-        out = frontend_step(gray_a, depth_a, gray_b, depth_b)
-        jax.block_until_ready(out)
+    def timed(iters: int) -> float:
+        @jax.jit
+        def run(gray_all, depth_all):
+            def body(carry, _):
+                salted = gray_all + (carry * 1e-30)
+                s = jnp.sum(step(salted, depth_all)) * 1e-9
+                return carry + s, ()
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_ITERS):
-        out = frontend_step(gray_a, depth_a, gray_b, depth_b)
-        jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0), None, length=iters
+            )
+            return total
 
-    # Each step fully processes BATCH new frames (detection+description for
-    # the new frame and matching against the previous frame's features; the
-    # duplicated f0 extraction makes this a conservative lower bound).
-    frames_processed = BATCH * MEASURE_ITERS
-    fps = frames_processed / dt
+        float(run(gray_all, depth_all))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(gray_all, depth_all))  # real fetch forces device sync
+            times.append(time.perf_counter() - t0)
+        return min(times)  # best-of-3: robust to tunnel jitter
+
+    t_base = timed(BASE_ITERS)
+    t_full = timed(ITERS)
+    per_iter = (t_full - t_base) / (ITERS - BASE_ITERS)
+    # One iteration fully processes BATCH new frames (and re-extracts the
+    # previous frame's features too — a conservative 2x-work lower bound).
+    fps = BATCH / max(per_iter, 1e-9)
 
     result = {
         "metric": "frames/sec/chip (ORB frontend + Hamming match, 640x480 fr2-camera frames)",

@@ -82,15 +82,22 @@ def orb_adapter(
         idx1 = np.where(valid)[0]
         return np.stack([idx1, np.asarray(m.idx2)[idx1]], axis=1)
 
-    def stages(rgb: np.ndarray) -> Dict[str, Callable]:
+    def stages(rgb: np.ndarray) -> Dict[str, tuple]:
         gray = image.rgb_to_gray(jnp.asarray(rgb))
         blurred = image.gaussian_blur(gray, sigma=2.0, radius=3)
         kp = fast.detect(gray, num_keypoints, threshold)
         desc = orb.describe(blurred, kp.xy, prefiltered=True)
         return {
-            "fast_detect": lambda: fast.detect(gray, num_keypoints, threshold).xy,
-            "orb_describe": lambda: orb.describe(blurred, kp.xy, prefiltered=True),
-            "hamming_match": lambda: matching.match_hamming(desc, desc).idx2,
+            "fast_detect": (
+                lambda g: fast.detect(g, num_keypoints, threshold).xy, (gray,)
+            ),
+            "orb_describe": (
+                lambda b, xy: orb.describe(b, xy, prefiltered=True),
+                (blurred, kp.xy),
+            ),
+            "hamming_match": (
+                lambda d: matching.match_hamming(d, d).idx2, (desc,)
+            ),
         }
 
     return FrontendAdapter("orb", extract, match, stages)
@@ -131,7 +138,7 @@ def learned_adapter(
         idx1 = np.where(valid)[0]
         return np.stack([idx1, np.asarray(m.idx2)[idx1]], axis=1)
 
-    def stages(rgb: np.ndarray) -> Dict[str, Callable]:
+    def stages(rgb: np.ndarray) -> Dict[str, tuple]:
         from ..models.frontend import LearnedFrontend
         from ..models.selector import select_keypoints
 
@@ -141,13 +148,21 @@ def learned_adapter(
         )
         kp = select_keypoints(sal, model.num_keypoints)
         return {
-            "backbone": lambda: model.apply(
-                variables, imgs, method=LearnedFrontend.features_and_saliency
-            )[0],
-            "select_keypoints": lambda: select_keypoints(sal, model.num_keypoints).xy,
-            "describe_refine": lambda: model.apply(
-                variables, feats, kp.xy, method=LearnedFrontend.describe_at
-            )[1],
+            "backbone": (
+                lambda v, x: model.apply(
+                    v, x, method=LearnedFrontend.features_and_saliency
+                )[0],
+                (variables, imgs),
+            ),
+            "select_keypoints": (
+                lambda s: select_keypoints(s, model.num_keypoints).xy, (sal,)
+            ),
+            "describe_refine": (
+                lambda v, f, xy: model.apply(
+                    v, f, xy, method=LearnedFrontend.describe_at
+                )[1],
+                (variables, feats, kp.xy),
+            ),
         }
 
     return FrontendAdapter("learned", extract, match, stages)

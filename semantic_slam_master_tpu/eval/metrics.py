@@ -236,29 +236,24 @@ def tracking_success(
 
 
 def benchmark_stages(
-    stages: Dict[str, Callable[[], object]],
+    stages: Dict[str, tuple],
     warmup: int = 3,
     iters: int = 10,
 ) -> Dict[str, Dict[str, float]]:
-    """Per-stage latency harness (`test_performance.py:78-144`): each stage
-    is a thunk returning device arrays; timing uses block_until_ready."""
-    import jax
+    """Per-stage latency harness (`test_performance.py:78-144`).
 
+    Each stage is ``(fn, args)``. The stage runs ``iters`` times inside a
+    single jitted scan and latency is taken as the *marginal* time per
+    iteration (utils.profiling.marginal_time_ms) — the only measurement
+    that stays honest on remote/tunneled device backends where
+    block_until_ready may not actually block.
+    """
+    from ..utils.profiling import marginal_time_ms
+
+    del warmup  # folded into marginal_time_ms
     results: Dict[str, Dict[str, float]] = {}
-    for name, fn in stages.items():
-        for _ in range(warmup):
-            jax.block_until_ready(fn())
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn())
-            times.append((time.perf_counter() - t0) * 1000.0)
-        arr = np.asarray(times)
-        results[name] = {
-            "mean_ms": float(arr.mean()),
-            "std_ms": float(arr.std()),
-            "min_ms": float(arr.min()),
-        }
+    for name, (fn, args) in stages.items():
+        results[name] = marginal_time_ms(fn, args, iters=max(iters, 8))
     total = sum(r["mean_ms"] for r in results.values())
     results["total"] = {"mean_ms": total, "fps": 1000.0 / max(total, 1e-9)}
     return results

@@ -48,10 +48,16 @@ BORDER_MARGIN = 3
 def _circle_stack(gray: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W) -> (16, B, H, W) of circle-neighbour intensities.
 
-    Rolls wrap at the borders; callers mask a >=3 px margin.
+    Implemented as ONE zero-pad + 16 static slices — a stencil XLA fuses
+    into a single pass over the image (jnp.roll's wraparound would
+    materialize 16 copies). Borders are invalid (zero neighbours) and are
+    masked by the caller's >= 3 px margin.
     """
+    B, H, W = gray.shape
+    r = BORDER_MARGIN
+    padded = jnp.pad(gray, ((0, 0), (r, r), (r, r)))
     views = [
-        jnp.roll(gray, shift=(-int(dy), -int(dx)), axis=(1, 2))
+        jax.lax.dynamic_slice(padded, (0, r + int(dy), r + int(dx)), (B, H, W))
         for dy, dx in FAST_CIRCLE
     ]
     return jnp.stack(views, axis=0)
@@ -63,12 +69,11 @@ def _arc9_any(bits: jnp.ndarray) -> jnp.ndarray:
     bits: (16, ...) bool. Two-level AND decomposition over the doubled
     (wrap-around) sequence.
     """
-    # c3[i] = bits[i] & bits[i+1] & bits[i+2]  (circular)
-    b1 = jnp.roll(bits, -1, axis=0)
-    b2 = jnp.roll(bits, -2, axis=0)
-    c3 = bits & b1 & b2
-    # c9[i] = c3[i] & c3[i+3] & c3[i+6]  (circular)
-    c9 = c3 & jnp.roll(c3, -3, axis=0) & jnp.roll(c3, -6, axis=0)
+    # Double the circular axis once; all shifted reads become static
+    # slices (views) that fuse, instead of per-shift roll copies.
+    d = jnp.concatenate([bits, bits], axis=0)
+    c3 = d[:24] & d[1:25] & d[2:26]  # c3[i] = AND of bits[i..i+2]
+    c9 = c3[:16] & c3[3:19] & c3[6:22]  # c9[i] = AND of bits[i..i+8]
     return jnp.any(c9, axis=0)
 
 

@@ -70,6 +70,10 @@ def gather_patches(
     img: (B, H, W); centers: (B, N, 2) float (x, y), rounded to ints;
     returns (B, N, 2r+1, 2r+1). Patches are clamped at borders (callers
     keep keypoints >= radius from the border via the detector margin).
+
+    On TPU the Pallas kernel in ``ops.pallas.patches`` (dynamic slices
+    from a VMEM-resident image) replaces this XLA gather on the hot path;
+    this implementation is the portable reference.
     """
     B, H, W = img.shape
     k = 2 * radius + 1

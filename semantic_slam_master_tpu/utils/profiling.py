@@ -14,6 +14,90 @@ import time
 from typing import Callable, Dict, Optional
 
 
+def _salt(args, carry):
+    """Inject a loop-carried dependency into the first array leaf of args
+    so XLA cannot hoist the repeated computation out of the scan. The
+    perturbation is numerically ~0 (float: + carry * 1e-30; int: xor with
+    a runtime-zero) but is loop-variant as an *expression*."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(args)
+    for i, leaf in enumerate(leaves):
+        if not hasattr(leaf, "dtype"):
+            continue
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            leaves[i] = leaf + (carry * 1e-30).astype(leaf.dtype)
+            break
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            zero_rt = (carry * 1e-30).astype(jnp.int32).astype(leaf.dtype)
+            leaves[i] = leaf ^ zero_rt
+            break
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _to_scalar(out) -> "object":
+    import jax
+    import jax.numpy as jnp
+
+    total = jnp.float32(0)
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype"):
+            total = total + jnp.sum(leaf.astype(jnp.float32)) * 1e-12
+    return total
+
+
+def repeat_in_jit(fn: Callable, args: tuple, iters: int):
+    """Run ``fn(*args)`` ``iters`` times inside ONE jitted scan and return
+    a host scalar (forcing a real device sync).
+
+    This is the only reliable timing shape on remote/tunneled backends
+    where ``block_until_ready`` can return before execution finishes:
+    one dispatch, one fetch, N sequential executions in between.
+    """
+    import jax
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            out = fn(*_salt(args, carry))
+            return carry + _to_scalar(out), ()
+
+        total, _ = jax.lax.scan(body, jax.numpy.float32(0), None, length=iters)
+        return total
+
+    return float(run(args))
+
+
+def marginal_time_ms(
+    fn: Callable, args: tuple, iters: int = 32, base_iters: int = 4
+) -> Dict[str, float]:
+    """Per-call latency via marginal timing: run the in-jit repetition at
+    two lengths and divide the best-of-3 time difference by the iteration
+    difference — cancels dispatch/transfer/tunnel overhead exactly and is
+    robust to round-trip jitter."""
+    # warm both executables
+    repeat_in_jit(fn, args, base_iters)
+    repeat_in_jit(fn, args, iters)
+
+    def best(k):
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            repeat_in_jit(fn, args, k)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_base = best(base_iters)
+    t_full = best(iters)
+    per_iter = (t_full - t_base) / max(iters - base_iters, 1)
+    return {
+        "mean_ms": max(per_iter, 0.0) * 1e3,
+        "overhead_ms": max(t_base - per_iter * base_iters, 0.0) * 1e3,
+        "iters": iters,
+    }
+
+
 def time_fn(
     fn: Callable[[], object], warmup: int = 3, iters: int = 10
 ) -> Dict[str, float]:
