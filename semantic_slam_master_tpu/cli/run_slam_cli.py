@@ -78,6 +78,14 @@ def run_sequence(seq, out_path: Path, args) -> dict:
     )
     out = system.run_slam(jax.random.PRNGKey(args.seed), feats, seq.cam, cfg)
     poses = np.asarray(jax.device_get(out.poses_wc), dtype=np.float64)
+    n_loops = 0
+    if args.loop_closure:
+        from ..slam import loop_closing
+
+        poses, loops = loop_closing.close_sequence_loops(
+            poses, feats, np.asarray(out.is_keyframe), seq.cam
+        )
+        n_loops = len(loops)
     t_slam = time.perf_counter() - t0
 
     timestamps = getattr(seq, "timestamps", np.arange(n) / 30.0)
@@ -90,6 +98,7 @@ def run_sequence(seq, out_path: Path, args) -> dict:
         "slam_s": round(t_slam, 2),
         "fps": round(fps, 1),
         "keyframes": int(np.asarray(out.is_keyframe).sum()),
+        "loops_closed": n_loops,
         "mean_inliers": float(np.asarray(out.num_inliers)[1:].mean()) if n > 1 else 0.0,
         "trajectory": str(out_path),
     }
@@ -109,6 +118,8 @@ def main(argv=None):
     parser.add_argument("--window-size", type=int, default=5)
     parser.add_argument("--ba-iters", type=int, default=4)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--loop-closure", action="store_true",
+                        help="BoW loop detection + pose-graph correction pass")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 

@@ -80,17 +80,15 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    # phi = theta / (2 sin(theta)) * vee(R - R^T); Taylor for small theta.
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta**2, 0.0))
-    small = sin_theta < 1e-5
-    scale = jnp.where(
-        small,
-        # theta/sin(theta) ~ 1 + theta^2/6 near 0
-        1.0 + theta**2 / 6.0,
-        theta / jnp.where(small, 1.0, sin_theta),
-    )
+    # theta via atan2 (differentiable at identity, unlike arccos whose
+    # gradient blows up at cos = 1); double-where guards sqrt(0).
+    s_sq = jnp.sum(w * w, axis=-1)  # = sin(theta)^2
+    small = s_sq < 1e-12
+    s_safe = jnp.sqrt(jnp.where(small, 1.0, s_sq))
+    theta = jnp.arctan2(s_safe, cos_theta)
+    # phi = theta/sin(theta) * w; Taylor 1 + theta^2/6 near 0 (theta ~ |w|).
+    scale = jnp.where(small, 1.0 + s_sq / 6.0, theta / s_safe)
     phi = w * scale[..., None]
     # Near theta = pi the formula above degrades; fall back to the
     # diagonal-based axis extraction.

@@ -1,3 +1,5 @@
-from . import ba, pnp, system, tracking
+from . import ba, bow, loop_closing, pnp, posegraph, system, tracking
 
-__all__ = ["ba", "pnp", "system", "tracking"]
+__all__ = [
+    "ba", "bow", "loop_closing", "pnp", "posegraph", "system", "tracking",
+]

@@ -1,0 +1,168 @@
+"""Bag-of-binary-words place recognition on the MXU.
+
+TPU-native replacement for the DBoW2/DBoW3 loop-closure backends the
+reference's baselines clone and build (SURVEY.md §2.2 "DBoW2" row:
+"descriptor-quantization BoW as on-device matmul scoring"). Everything
+is dense linear algebra:
+
+- the vocabulary is K 256-bit binary words; assigning N descriptors is
+  one (N, 256) x (256, K) ±1 matmul + argmin (exact Hamming, same trick
+  as `ops.matching`);
+- a keyframe's signature is the L2-normalized tf histogram of its
+  words (a segment-sum scatter);
+- querying the keyframe database is one (K_vocab,) x (M, K_vocab)
+  matvec — cosine scores against every stored keyframe at once.
+
+The default vocabulary is a deterministic random one (seeded sign
+patterns). Random binary codebooks are a standard LSH baseline for
+Hamming space; `train_vocabulary` refines it into k-medians words from
+real descriptors when a corpus is available.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.orb import NUM_BITS, to_signs
+
+
+def make_vocabulary(num_words: int = 1024, seed: int = 42) -> jnp.ndarray:
+    """Deterministic random binary vocabulary, packed (K, 8) uint32."""
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(0, 2**32, size=(num_words, 8), dtype=np.uint32)
+    )
+
+
+def assign_words(descriptors: jnp.ndarray, vocab: jnp.ndarray) -> jnp.ndarray:
+    """Nearest visual word per descriptor. (N, 8) -> (N,) int32."""
+    s_desc = to_signs(descriptors)  # (N, 256) ±1
+    s_vocab = to_signs(vocab)  # (K, 256)
+    dot = jnp.einsum("nd,kd->nk", s_desc, s_vocab, preferred_element_type=jnp.float32)
+    return jnp.argmax(dot, axis=-1).astype(jnp.int32)  # max dot == min Hamming
+
+
+def tf_signature(
+    word_ids: jnp.ndarray, valid: jnp.ndarray, num_words: int
+) -> jnp.ndarray:
+    """L2-normalized term-frequency histogram of a keyframe's words."""
+    onehot_sum = jnp.zeros(num_words, jnp.float32).at[word_ids].add(
+        valid.astype(jnp.float32)
+    )
+    return onehot_sum / jnp.maximum(jnp.linalg.norm(onehot_sum), 1e-8)
+
+
+def train_vocabulary(
+    descriptors: np.ndarray, num_words: int = 1024, iters: int = 8, seed: int = 0
+) -> jnp.ndarray:
+    """k-medians (Hamming) vocabulary from a descriptor corpus (N, 8).
+
+    Centroids are the bitwise majority of their members — the binary
+    analogue of the k-means update DBoW builds its tree with.
+    """
+    from ..ops.orb import pack_bits, unpack_bits
+
+    descriptors = jnp.asarray(descriptors)
+    n = descriptors.shape[0]
+    rng = np.random.default_rng(seed)
+    centroids = descriptors[rng.choice(n, size=num_words, replace=n < num_words)]
+    bits = unpack_bits(descriptors).astype(jnp.float32)  # (N, 256)
+    for _ in range(iters):
+        ids = assign_words(descriptors, centroids)
+        counts = jnp.zeros(num_words, jnp.float32).at[ids].add(1.0)
+        sums = jnp.zeros((num_words, NUM_BITS), jnp.float32).at[ids].add(bits)
+        majority = (sums * 2.0 > counts[:, None]).astype(jnp.uint32)
+        new_centroids = pack_bits(majority[None])[0]
+        # keep old centroid for empty clusters
+        centroids = jnp.where(counts[:, None] > 0, new_centroids, centroids)
+    return centroids
+
+
+class KeyframeDatabase(NamedTuple):
+    """Fixed-shape ring database of keyframe BoW signatures."""
+
+    signatures: jnp.ndarray  # (M, K_vocab)
+    frame_ids: jnp.ndarray  # (M,) int32 — SLAM frame index of each entry
+    valid: jnp.ndarray  # (M,)
+    ptr: jnp.ndarray  # scalar int32
+
+    @staticmethod
+    def create(capacity: int, num_words: int) -> "KeyframeDatabase":
+        return KeyframeDatabase(
+            signatures=jnp.zeros((capacity, num_words), jnp.float32),
+            frame_ids=jnp.full((capacity,), -1, jnp.int32),
+            valid=jnp.zeros((capacity,), bool),
+            ptr=jnp.asarray(0, jnp.int32),
+        )
+
+    def add(self, signature: jnp.ndarray, frame_id) -> "KeyframeDatabase":
+        i = self.ptr
+        return self._replace(
+            signatures=self.signatures.at[i].set(signature),
+            frame_ids=self.frame_ids.at[i].set(frame_id),
+            valid=self.valid.at[i].set(True),
+            ptr=(self.ptr + 1) % self.valid.shape[0],
+        )
+
+    def query(
+        self,
+        signature: jnp.ndarray,
+        current_frame_id,
+        min_frame_gap: int = 30,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Best-matching stored keyframe outside the temporal exclusion
+        window. Returns (best_frame_id, score); frame_id -1 if none."""
+        scores = self.signatures @ signature  # (M,)
+        eligible = self.valid & (
+            (current_frame_id - self.frame_ids) >= min_frame_gap
+        )
+        scores = jnp.where(eligible, scores, -1.0)
+        best = jnp.argmax(scores)
+        best_score = scores[best]
+        return (
+            jnp.where(best_score > 0, self.frame_ids[best], -1),
+            best_score,
+        )
+
+
+def keyframe_signature(
+    descriptors: jnp.ndarray, valid: jnp.ndarray, vocab: jnp.ndarray
+) -> jnp.ndarray:
+    """Descriptors (N, 8) + validity -> BoW signature (K_vocab,)."""
+    ids = assign_words(descriptors, vocab)
+    return tf_signature(ids, valid, vocab.shape[0])
+
+
+def detect_loops(
+    per_frame_desc: jnp.ndarray,
+    per_frame_valid: jnp.ndarray,
+    keyframe_idx: np.ndarray,
+    vocab: jnp.ndarray,
+    min_score: float = 0.35,
+    min_frame_gap: int = 30,
+):
+    """Offline loop detection over a finished sequence's keyframes.
+
+    per_frame_desc (F, N, 8) / valid (F, N); keyframe_idx: frame indices
+    that are keyframes. Returns [(frame_i, frame_j, score)] candidate
+    loop closures (j < i - gap).
+    """
+    sigs = jnp.stack(
+        [
+            keyframe_signature(per_frame_desc[i], per_frame_valid[i], vocab)
+            for i in keyframe_idx
+        ]
+    )
+    scores = sigs @ sigs.T  # (Kf, Kf)
+    loops = []
+    kf = list(keyframe_idx)
+    s = np.asarray(scores)
+    for a in range(len(kf)):
+        for b in range(a):
+            if kf[a] - kf[b] >= min_frame_gap and s[a, b] >= min_score:
+                loops.append((int(kf[a]), int(kf[b]), float(s[a, b])))
+    return loops

@@ -39,6 +39,14 @@ def test_so3_small_angle():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_so3_log_gradient_at_identity():
+    """arccos-based log has an infinite gradient at the identity; the
+    atan2 form must stay finite (pose-graph GN depends on this)."""
+    g = jax.jacfwd(lambda p: lie.so3_log(lie.so3_exp(p)))(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.allclose(g, np.eye(3), atol=1e-4)
+
+
 def test_se3_exp_log_roundtrip(rng):
     xi = jnp.asarray(rng.normal(size=(16, 6)) * 0.8, dtype=jnp.float32)
     T = lie.se3_exp(xi)
