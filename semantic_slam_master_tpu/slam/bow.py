@@ -61,15 +61,32 @@ def train_vocabulary(
 ) -> jnp.ndarray:
     """k-medians (Hamming) vocabulary from a descriptor corpus (N, 8).
 
-    Centroids are the bitwise majority of their members — the binary
-    analogue of the k-means update DBoW builds its tree with.
+    Init: greedy farthest-point seeding on a subsample (random init tends
+    to drop multiple seeds into one cluster and k-medians' hard
+    assignment cannot split them). Update: centroids are the bitwise
+    majority of their members — the binary analogue of the k-means
+    update DBoW builds its tree with.
     """
     from ..ops.orb import pack_bits, unpack_bits
 
     descriptors = jnp.asarray(descriptors)
     n = descriptors.shape[0]
     rng = np.random.default_rng(seed)
-    centroids = descriptors[rng.choice(n, size=num_words, replace=n < num_words)]
+
+    # --- farthest-point init on a subsample (numpy popcount) ---
+    sub_idx = rng.choice(n, size=min(n, 8 * num_words), replace=False)
+    sub = np.asarray(descriptors)[sub_idx]
+    sub_bits = np.unpackbits(sub.view(np.uint8), axis=-1)  # (M, 256)
+    chosen = [int(rng.integers(len(sub)))]
+    min_d = np.full(len(sub), np.inf)
+    for _ in range(min(num_words, len(sub)) - 1):
+        d = (sub_bits != sub_bits[chosen[-1]][None]).sum(axis=1)
+        min_d = np.minimum(min_d, d)
+        chosen.append(int(np.argmax(min_d)))
+    centroids = jnp.asarray(sub[np.array(chosen)])
+    if centroids.shape[0] < num_words:  # tiny corpus: repeat
+        reps = -(-num_words // centroids.shape[0])
+        centroids = jnp.tile(centroids, (reps, 1))[:num_words]
     bits = unpack_bits(descriptors).astype(jnp.float32)  # (N, 256)
     for _ in range(iters):
         ids = assign_words(descriptors, centroids)

@@ -47,26 +47,34 @@ def _to_scalar(out) -> "object":
     return total
 
 
+_CALL_COUNTER = [0]
+
+
 def repeat_in_jit(fn: Callable, args: tuple, iters: int):
     """Run ``fn(*args)`` ``iters`` times inside ONE jitted scan and return
     a host scalar (forcing a real device sync).
 
     This is the only reliable timing shape on remote/tunneled backends
     where ``block_until_ready`` can return before execution finishes:
-    one dispatch, one fetch, N sequential executions in between.
+    one dispatch, one fetch, N sequential executions in between. Every
+    invocation passes a fresh host-side seed argument so no layer of the
+    stack can serve a cached result for a repeated identical request.
     """
     import jax
+    import numpy as np
 
     @jax.jit
-    def run(args):
+    def run(seed, args):
         def body(carry, _):
             out = fn(*_salt(args, carry))
             return carry + _to_scalar(out), ()
 
-        total, _ = jax.lax.scan(body, jax.numpy.float32(0), None, length=iters)
+        total, _ = jax.lax.scan(body, seed * 1e-30, None, length=iters)
         return total
 
-    return float(run(args))
+    _CALL_COUNTER[0] += 1
+    seed = jax.numpy.float32(_CALL_COUNTER[0])
+    return float(run(seed, args))
 
 
 def marginal_time_ms(
