@@ -6,6 +6,7 @@ import sys
 
 COMMANDS = {
     "train": ("semantic_slam_master_tpu.cli.train_cli", "training CLI (train.py parity)"),
+    "train-segmenter": ("semantic_slam_master_tpu.cli.train_segmenter_cli", "train the semantic segmentation CNN (synthetic labels)"),
     "run-slam": ("semantic_slam_master_tpu.cli.run_slam_cli", "full-sequence SLAM -> TUM trajectories"),
     "evaluate": ("semantic_slam_master_tpu.cli.evaluate_cli", "ATE/RPE evaluation (evaluate_baseline.py parity)"),
     "run-tests": ("semantic_slam_master_tpu.cli.run_tests_cli", "four-test acceptance suite"),

@@ -17,15 +17,23 @@ from pathlib import Path
 import numpy as np
 
 
-def _features_for_frames(gray_np, depth_np, num_keypoints, chunk=16):
-    """Batched frontend over all frames, chunked to bound device memory."""
+def _features_for_frames(gray_np, depth_np, num_keypoints, weight_np=None, chunk=16):
+    """Batched frontend over all frames, chunked to bound device memory.
+
+    ``weight_np`` is an optional per-pixel semantic residual weight map
+    (F, H, W) sampled at keypoints (north-star semantic weighting)."""
     import jax
     import jax.numpy as jnp
 
     from ..slam import tracking
 
+    use_w = weight_np is not None
     extract = jax.jit(
-        lambda g, d: tracking.extract_features(g, d, num_keypoints=num_keypoints)
+        lambda g, d, w: tracking.extract_features(
+            g, d, num_keypoints=num_keypoints, weight_map=w
+        )
+        if use_w
+        else tracking.extract_features(g, d, num_keypoints=num_keypoints)
     )
     outs = []
     n = len(gray_np)
@@ -33,14 +41,67 @@ def _features_for_frames(gray_np, depth_np, num_keypoints, chunk=16):
     if pad:
         gray_np = np.concatenate([gray_np, np.repeat(gray_np[-1:], pad, 0)])
         depth_np = np.concatenate([depth_np, np.repeat(depth_np[-1:], pad, 0)])
+        if use_w:
+            weight_np = np.concatenate([weight_np, np.repeat(weight_np[-1:], pad, 0)])
     for i in range(0, len(gray_np), chunk):
+        w = jnp.asarray(weight_np[i : i + chunk]) if use_w else jnp.ones((1,))
         outs.append(
             jax.device_get(
-                extract(jnp.asarray(gray_np[i : i + chunk]), jnp.asarray(depth_np[i : i + chunk]))
+                extract(
+                    jnp.asarray(gray_np[i : i + chunk]),
+                    jnp.asarray(depth_np[i : i + chunk]),
+                    w,
+                )
             )
         )
     feats = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0)[:n], *outs)
     return feats
+
+
+def _semantic_weight_maps(rgb_np, labels_np, args):
+    """Per-pixel BA residual weights from semantics.
+
+    ``--semantics gt``    : use ground-truth label maps (synthetic world).
+    ``--semantics model`` : run the SemanticSegmenter (optionally from an
+                            orbax checkpoint) on the RGB frames.
+    Returns float32 (F, H, W) or None.
+    """
+    if args.semantics == "off":
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import segmenter as seg_mod
+
+    if args.semantics == "gt":
+        if labels_np is None:
+            print("[run-slam] --semantics gt needs GT labels; skipping",
+                  file=sys.stderr)
+            return None
+        return np.asarray(
+            seg_mod.class_weights_map(jnp.asarray(labels_np))
+        ).astype(np.float32)
+
+    # --semantics model
+    model = seg_mod.SemanticSegmenter()
+    if args.segmenter_checkpoint:
+        from ..train import seg_trainer
+
+        params = seg_trainer.load_checkpoint(args.segmenter_checkpoint)
+    else:
+        print("[run-slam] --semantics model without --segmenter-checkpoint: "
+              "using untrained weights (labels will be noise)", file=sys.stderr)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1,) + rgb_np.shape[1:3] + (3,))
+        )["params"]
+    apply = jax.jit(lambda x: jnp.argmax(model.apply({"params": params}, x), -1))
+    chunks = []
+    for i in range(0, len(rgb_np), 8):
+        chunks.append(np.asarray(apply(jnp.asarray(rgb_np[i : i + 8]))))
+    labels = np.concatenate(chunks, axis=0)
+    return np.asarray(
+        seg_mod.class_weights_map(jnp.asarray(labels))
+    ).astype(np.float32)
 
 
 def run_sequence(seq, out_path: Path, args) -> dict:
@@ -51,25 +112,34 @@ def run_sequence(seq, out_path: Path, args) -> dict:
     from ..slam import system, tracking
 
     n = seq.num_frames() if hasattr(seq, "num_frames") else len(seq)
+    want_rgb = args.semantics == "model"
     t0 = time.perf_counter()
-    if hasattr(seq, "load_all_gray_depth"):
+    rgb_np = labels_np = None
+    if hasattr(seq, "load_all_gray_depth") and not want_rgb:
         # TUM directory: threaded native C++ PNG decode of the sequence.
         gray_np, depth_np = seq.load_all_gray_depth()
     else:
-        rgbs, depths = [], []
+        rgbs, depths, labels = [], [], []
         for i in range(n):
             f = seq.frame(i)
-            rgbs.append(
-                0.299 * f["rgb"][..., 0] + 0.587 * f["rgb"][..., 1]
-                + 0.114 * f["rgb"][..., 2]
-            )
+            rgbs.append(f["rgb"])
             depths.append(f["depth"])
-        gray_np = np.stack(rgbs).astype(np.float32)
+            if "labels" in f:
+                labels.append(f["labels"])
+        rgb_np = np.stack(rgbs).astype(np.float32)
+        gray_np = (
+            0.299 * rgb_np[..., 0] + 0.587 * rgb_np[..., 1] + 0.114 * rgb_np[..., 2]
+        ).astype(np.float32)
         depth_np = np.stack(depths).astype(np.float32)
+        labels_np = np.stack(labels) if labels else None
     t_decode = time.perf_counter() - t0
 
+    weight_np = _semantic_weight_maps(rgb_np, labels_np, args)
+
     t0 = time.perf_counter()
-    feats_np = _features_for_frames(gray_np, depth_np, args.num_keypoints)
+    feats_np = _features_for_frames(
+        gray_np, depth_np, args.num_keypoints, weight_np
+    )
     feats = tracking.FrameFeatures(*[jnp.asarray(x) for x in feats_np])
     cfg = system.SlamConfig(
         num_landmarks=args.num_landmarks,
@@ -112,6 +182,15 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true",
                         help="run on the synthetic world instead of TUM data")
     parser.add_argument("--synthetic-frames", type=int, default=60)
+    parser.add_argument("--dynamic", action="store_true",
+                        help="synthetic world with a moving person slab "
+                             "(fr3_walking-style dynamic-scene stress)")
+    parser.add_argument("--semantics", choices=["off", "gt", "model"],
+                        default="off",
+                        help="semantic residual weighting: GT labels "
+                             "(synthetic) or the SemanticSegmenter model")
+    parser.add_argument("--segmenter-checkpoint", default=None,
+                        help="orbax checkpoint dir for --semantics model")
     parser.add_argument("--output-dir", default="experiments/trajectories")
     parser.add_argument("--num-keypoints", type=int, default=512)
     parser.add_argument("--num-landmarks", type=int, default=2048)
@@ -128,16 +207,20 @@ def main(argv=None):
     if args.synthetic:
         from ..data import synthetic
 
-        seq = synthetic.make_sequence(num_frames=args.synthetic_frames, scale=1.0)
+        make = (
+            synthetic.make_dynamic_sequence if args.dynamic
+            else synthetic.make_sequence
+        )
+        seq = make(num_frames=args.synthetic_frames, scale=1.0)
         # keep GT alongside for evaluation convenience
         from ..data import trajectory_io
 
         out_dir.mkdir(parents=True, exist_ok=True)
         trajectory_io.write_tum_trajectory(
-            out_dir / "synthetic_room_groundtruth.txt", seq.timestamps, seq.poses_wc
+            out_dir / f"{seq.name}_groundtruth.txt", seq.timestamps, seq.poses_wc
         )
-        results["synthetic_room"] = run_sequence(
-            seq, out_dir / "synthetic_room_trajectory.txt", args
+        results[seq.name] = run_sequence(
+            seq, out_dir / f"{seq.name}_trajectory.txt", args
         )
     else:
         from ..data.tum import TUMSequence

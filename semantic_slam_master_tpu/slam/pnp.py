@@ -182,11 +182,23 @@ def ransac_pose(
     All hypotheses are generated and scored in one vmapped batch; the
     best-by-inlier-count is refined with all inliers (the TPU-native
     RANSAC shape, SURVEY.md §7.3).
+
+    ``weights`` (semantic / confidence, nonnegative) enter THREE places:
+    minimal-sample draw probabilities, hypothesis support scoring, and
+    the GN polish. A rigidly-moving dynamic object (fr3_walking persons)
+    forms a consistent rival consensus; if weights only touched the
+    refinement, unweighted argmax-inlier voting would still elect the
+    mover's motion whenever it owns >50% of matches. Weighted support
+    makes the static world win the vote even when outnumbered.
     """
     n = points.shape[0]
-    # Pre-draw sample indices, biased to valid correspondences via
-    # weighted choice on the validity mask.
-    probs = valid.astype(jnp.float32) + 1e-6
+    w_sem = (
+        valid.astype(jnp.float32)
+        if weights is None
+        else valid.astype(jnp.float32) * weights
+    )
+    # Pre-draw sample indices, biased to valid high-weight correspondences.
+    probs = w_sem + 1e-6
     probs = probs / probs.sum()
     idx = jax.random.choice(
         key, n, shape=(num_hypotheses, sample_size), replace=True, p=probs
@@ -194,11 +206,14 @@ def ransac_pose(
 
     def hypothesis(sample_idx):
         T = kabsch(points[sample_idx], points_dst[sample_idx])
-        inl, _ = count_inliers(T, points, observations, cam, valid, inlier_threshold)
-        return T, inl
+        inl, mask = count_inliers(
+            T, points, observations, cam, valid, inlier_threshold
+        )
+        support = jnp.sum(mask * w_sem)  # semantically-weighted consensus
+        return T, inl, support
 
-    Ts, inls = jax.vmap(hypothesis)(idx)
-    best = jnp.argmax(inls)
+    Ts, inls, supports = jax.vmap(hypothesis)(idx)
+    best = jnp.argmax(supports)
     T_best = Ts[best]
 
     # Refine on inliers of the best hypothesis (soft: weight = inlier mask).
@@ -209,13 +224,14 @@ def ransac_pose(
     T_ref = refine_pose(
         T_best, points, observations, cam, weights=w, num_iters=refine_iters
     )
-    # Keep the refinement only if it didn't lose inliers (guards the rare
-    # degenerate-sample polish divergence).
+    # Keep the refinement only if it didn't lose weighted support (guards
+    # the rare degenerate-sample polish divergence).
     inl_ref, mask_ref = count_inliers(
         T_ref, points, observations, cam, valid, inlier_threshold
     )
+    sup_ref = jnp.sum(mask_ref * w_sem)
     inl_best = inls[best]
-    use_ref = inl_ref >= inl_best
+    use_ref = sup_ref >= supports[best]
     T_final = jnp.where(use_ref, T_ref, T_best)
     inl_final = jnp.where(use_ref, inl_ref, inl_best)
     mask_final = jnp.where(use_ref, mask_ref, mask)

@@ -40,7 +40,7 @@ class MapState(NamedTuple):
 
     # Landmarks
     positions: jnp.ndarray  # (M, 3) world
-    descriptors: jnp.ndarray  # (M, 8) uint32 ORB at creation
+    descriptors: jnp.ndarray  # (M, D): uint32 packed ORB or float learned
     lm_valid: jnp.ndarray  # (M,)
     lm_weight: jnp.ndarray  # (M,) semantic/confidence BA weight
     write_ptr: jnp.ndarray  # scalar int32 — landmark ring pointer
@@ -60,7 +60,8 @@ class SlamConfig(NamedTuple):
     num_hypotheses: int = 64
     min_inliers: int = 15
     keyframe_min_inlier_ratio: float = 0.4  # new KF when below
-    match_max_distance: float = 64.0
+    match_max_distance: float = 64.0  # Hamming gate (packed ORB descriptors)
+    match_min_cosine: float = 0.6  # cosine gate (learned float descriptors)
     ba_iters: int = 4
     max_depth: float = 10.0
     depth_weight: float = 30.0
@@ -73,11 +74,43 @@ class SlamOutput(NamedTuple):
     is_keyframe: jnp.ndarray  # (F,) bool
 
 
-def init_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
+def match_features(
+    desc1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid1: jnp.ndarray,
+    valid2: jnp.ndarray,
+    cfg: SlamConfig,
+) -> matching.Matches:
+    """Descriptor matching dispatched on dtype: packed-bit ORB (uint32)
+    uses MXU Hamming; learned float descriptors (L2-normalized by the
+    refiner, models/refiner.py) use cosine similarity. Lets the SAME
+    SLAM backend run on either the classic or the learned frontend —
+    the reference's `extract_features` contract
+    (`semantic-slam/test/test_tracking.py:68-85`) feeding full SLAM."""
+    if jnp.issubdtype(desc1.dtype, jnp.unsignedinteger):
+        return matching.match_hamming(
+            desc1, desc2, valid1, valid2, max_distance=cfg.match_max_distance
+        )
+    return matching.match_cosine(
+        desc1,
+        desc2,
+        valid1,
+        valid2,
+        ratio=None,
+        min_similarity=cfg.match_min_cosine,
+    )
+
+
+def init_map(
+    cfg: SlamConfig,
+    desc_dim: int = 8,
+    desc_dtype=jnp.uint32,
+    dtype=jnp.float32,
+) -> MapState:
     M, W = cfg.num_landmarks, cfg.window_size
     return MapState(
         positions=jnp.zeros((M, 3), dtype),
-        descriptors=jnp.zeros((M, 8), jnp.uint32),
+        descriptors=jnp.zeros((M, desc_dim), desc_dtype),
         lm_valid=jnp.zeros((M,), bool),
         lm_weight=jnp.ones((M,), dtype),
         write_ptr=jnp.asarray(0, jnp.int32),
@@ -119,7 +152,10 @@ def _insert_landmarks(
         state.positions
     )
     positions = positions.at[slots].set(pts_world)[:M]
-    descriptors = jnp.zeros((M + 1, 8), jnp.uint32).at[:M].set(state.descriptors)
+    D = state.descriptors.shape[-1]
+    descriptors = jnp.zeros((M + 1, D), state.descriptors.dtype).at[:M].set(
+        state.descriptors
+    )
     descriptors = descriptors.at[slots].set(feats.desc)[:M]
     lm_valid = jnp.zeros((M + 1,), bool).at[:M].set(state.lm_valid)
     lm_valid = lm_valid.at[slots].set(True)[:M]
@@ -201,26 +237,29 @@ def run_slam(
 ) -> SlamOutput:
     """Run semantic SLAM over a sequence of per-frame features.
 
-    ``features.valid`` should already encode depth/semantic gating (e.g.
-    keypoints on dynamic objects can be pre-masked by the segmentation
-    model — see models.segmenter).
+    ``features.sem_weight`` carries per-keypoint semantic/confidence
+    residual weights (from models.segmenter / models.uncertainty); they
+    bias RANSAC voting, GN refinement, landmark creation weight, and BA
+    confidence. All-ones = classic geometry-only SLAM.
     """
     F = features.xy.shape[0]
     keys = jax.random.split(key, F)
 
-    state0 = init_map(cfg)
+    state0 = init_map(
+        cfg, desc_dim=features.desc.shape[-1], desc_dtype=features.desc.dtype
+    )
     # Bootstrap: first frame defines the world; all its valid keypoints
     # become landmarks and keyframe 0.
     first = jax.tree.map(lambda x: x[0], features)
     eye = jnp.eye(4, dtype=jnp.float32)
     state0 = _insert_landmarks(
-        state0, eye, first, first.valid, jnp.ones_like(first.depth), cam
+        state0, eye, first, first.valid, first.sem_weight, cam
     )
     # Observation row for the bootstrap keyframe: the landmarks it created.
     n = first.xy.shape[0]
     lm_idx0 = (jnp.cumsum(first.valid) - 1) % cfg.num_landmarks
     state0 = _write_keyframe(
-        state0, eye, first, lm_idx0, first.valid, jnp.ones((n,), jnp.float32)
+        state0, eye, first, lm_idx0, first.valid, first.sem_weight
     )
 
     def step(carry, inp):
@@ -228,12 +267,8 @@ def run_slam(
         k, feats = inp
 
         # --- data association: frame keypoints vs landmark descriptors ---
-        m = matching.match_hamming(
-            feats.desc,
-            state.descriptors,
-            feats.valid,
-            state.lm_valid,
-            max_distance=cfg.match_max_distance,
+        m = match_features(
+            feats.desc, state.descriptors, feats.valid, state.lm_valid, cfg
         )
         lm_idx = m.idx2  # (N,) landmark per keypoint
         matched = m.valid
@@ -241,7 +276,10 @@ def run_slam(
         # --- pose: world -> camera via RANSAC(Kabsch) + GN on reprojection ---
         pts_world = state.positions[lm_idx]
         pts_cam_meas = backproject(feats.xy, feats.depth, cam)
-        weights = state.lm_weight[lm_idx]
+        # Correspondence trust = map-side semantic weight x frame-side
+        # weight (a person keypoint is dynamic regardless of which side
+        # of the match it sits on).
+        weights = state.lm_weight[lm_idx] * feats.sem_weight
         result = pnp.ransac_pose(
             k,
             pts_world,
@@ -266,7 +304,7 @@ def run_slam(
             # Promote unmatched-but-valid keypoints to new landmarks.
             new_mask = feats.valid & ~matched
             state = _insert_landmarks(
-                state, T_wc, feats, new_mask, jnp.ones_like(feats.depth), cam
+                state, T_wc, feats, new_mask, feats.sem_weight, cam
             )
             # New landmarks got consecutive slots; recover their indices
             # the same way _insert_landmarks assigned them.
@@ -276,8 +314,10 @@ def run_slam(
             new_slots = (old_ptr + ranks) % M
             all_idx = jnp.where(new_mask, new_slots, lm_idx)
             obs_mask = (matched & inl) | new_mask
+            # Observation confidence = frame-side semantic weight; the
+            # map-side lm_weight multiplies in at BA time (_run_local_ba).
             state = _write_keyframe(
-                state, T_cw, feats, all_idx, obs_mask, weights
+                state, T_cw, feats, all_idx, obs_mask, feats.sem_weight
             )
             return _run_local_ba(state, cam, cfg)
 

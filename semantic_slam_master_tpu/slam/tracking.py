@@ -24,13 +24,19 @@ from . import pnp
 
 
 class FrameFeatures(NamedTuple):
-    """Per-frame frontend output, batched over frames (F leading axis)."""
+    """Per-frame frontend output, batched over frames (F leading axis).
+
+    ``desc`` is either packed-bit ORB ((F, N, 8) uint32, Hamming-matched)
+    or learned float descriptors ((F, N, D) float, cosine-matched) — the
+    SLAM backend dispatches on dtype (slam.system.match_features).
+    """
 
     xy: jnp.ndarray  # (F, N, 2)
-    desc: jnp.ndarray  # (F, N, 8) uint32 packed ORB
+    desc: jnp.ndarray  # (F, N, 8) uint32 ORB or (F, N, D) float learned
     depth: jnp.ndarray  # (F, N) metric depth at keypoints
     valid: jnp.ndarray  # (F, N)
     score: jnp.ndarray  # (F, N)
+    sem_weight: jnp.ndarray  # (F, N) semantic/confidence residual weight
 
 
 def extract_features(
@@ -39,18 +45,72 @@ def extract_features(
     num_keypoints: int = 512,
     threshold: float = 0.05,
     nms_radius: int = 3,
+    weight_map: jnp.ndarray | None = None,
 ) -> FrameFeatures:
     """Batched ORB frontend: (F, H, W) gray + depth -> FrameFeatures.
 
     Keypoints with invalid (zero) depth stay in the arrays but are
-    masked — fixed shapes throughout.
+    masked — fixed shapes throughout. ``weight_map`` is an optional
+    per-pixel semantic residual weight (F, H, W) — e.g. from
+    ``models.segmenter.class_weights_map`` — sampled at keypoints into
+    ``sem_weight`` (the north-star "semantic labels weighting the
+    reprojection residuals" hook).
     """
     blurred = image.gaussian_blur(gray, sigma=2.0, radius=3)
     kp = fast.detect(gray, num_keypoints, threshold, nms_radius)
     desc = orb.describe(blurred, kp.xy, prefiltered=True)
     d = nearest_sample(depth, kp.xy)
     valid = kp.valid & (d > 0.05) & (d < 15.0)
-    return FrameFeatures(xy=kp.xy, desc=desc, depth=d, valid=valid, score=kp.score)
+    if weight_map is None:
+        sem_w = jnp.ones_like(d)
+    else:
+        sem_w = nearest_sample(weight_map, kp.xy)
+    return FrameFeatures(
+        xy=kp.xy, desc=desc, depth=d, valid=valid, score=kp.score, sem_weight=sem_w
+    )
+
+
+def extract_learned_features(
+    model,
+    variables,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    weight_map: jnp.ndarray | None = None,
+    use_confidence: bool = True,
+    normalized: bool = False,
+) -> FrameFeatures:
+    """Learned-frontend -> FrameFeatures adapter: lets a trained
+    LearnedFrontend drive the SAME SLAM backend as the classic ORB path
+    (the reference's `extract_features` contract feeding full SLAM,
+    `semantic-slam/test/test_tracking.py:68-85` — which the reference
+    itself never connects to a SLAM system).
+
+    rgb: (F, H, W, 3) in [0, 1] (or already ImageNet-normalized if
+    ``normalized``); depth: (F, H, W) meters at the SAME resolution.
+    Descriptors come out float (cosine-matched downstream); confidence
+    from the uncertainty head becomes ``sem_weight`` — the runtime
+    consumption of the "first-class" estimator (SURVEY.md §2.1), and it
+    composes multiplicatively with an optional semantic ``weight_map``.
+    """
+    if not normalized:
+        mean = jnp.asarray([0.485, 0.456, 0.406], rgb.dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], rgb.dtype)
+        rgb = (rgb - mean) / std
+    out = model.apply(variables, rgb)
+    xy = out.keypoints_px
+    d = nearest_sample(depth, xy)
+    valid = out.valid & (d > 0.05) & (d < 15.0)
+    sem_w = out.confidence if use_confidence else jnp.ones_like(d)
+    if weight_map is not None:
+        sem_w = sem_w * nearest_sample(weight_map, xy)
+    return FrameFeatures(
+        xy=xy,
+        desc=out.descriptors.astype(jnp.float32),
+        depth=d,
+        valid=valid,
+        score=out.scores,
+        sem_weight=sem_w.astype(jnp.float32),
+    )
 
 
 class TrackingResult(NamedTuple):
@@ -82,6 +142,9 @@ def _pair_pose(
     d_cur = feats_cur.depth[idx2]
     pts_cur = backproject(xy_cur, d_cur, cam)
     valid = m.valid & (d_cur > 0.05)
+    # Semantic weight of a correspondence = product of both endpoints'
+    # weights: a match is only as trustworthy as its most dynamic end.
+    w = feats_prev.sem_weight * feats_cur.sem_weight[idx2]
 
     result = pnp.ransac_pose(
         key,
@@ -90,6 +153,7 @@ def _pair_pose(
         xy_cur,
         cam,
         valid,
+        weights=w,
         num_hypotheses=num_hypotheses,
     )
     return result, m.count()

@@ -79,10 +79,18 @@ class LossConfig:
             "activation": 0.05,
             "edge": 0.3,
             "sparsity": 0.3,
+            # TPU-build extension: the uncertainty head is TRAINED (the
+            # reference declares it but gives it zero gradient).
+            "calibration": 0.3,
+            "expected_error": 0.02,
         }
     )
+    # NOTE: the reference's `num_negatives: 40` knob is intentionally NOT
+    # carried over: the batched InfoNCE uses ALL in-frame descriptors as
+    # negatives (strictly stronger signal, and subsampling would add a
+    # gather for no TPU win). Unknown YAML keys are ignored on load, so
+    # reference configs stay portable.
     desc_temperature: float = 0.10
-    desc_negatives: int = 40
     repeat_threshold: float = 2.0
     target_variance: float = 0.22
     sparsity_target: float = 0.35

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import self_supervised as losses
+from ..models import uncertainty
 from ..models.frontend import LearnedFrontend
 from ..models.selector import select_keypoints
 from ..ops import matching
@@ -140,7 +141,7 @@ def _forward_pair(model: LearnedFrontend, variables, rgb1, rgb2, cfg: Config):
     kp1 = select_keypoints(sal1, cfg.model.num_keypoints)
     kp2 = select_keypoints(sal2, cfg.model.num_keypoints)
 
-    _, desc1, _ = model.apply(
+    _, desc1, conf1 = model.apply(
         vars3, feats1, kp1.xy, method=LearnedFrontend.describe_at
     )
     _, desc2, _ = model.apply(
@@ -163,6 +164,24 @@ def _forward_pair(model: LearnedFrontend, variables, rgb1, rgb2, cfg: Config):
         target_variance=cfg.loss.target_variance,
         target_mean=cfg.loss.sparsity_target,
         sparsity_penalty=cfg.loss.sparsity_penalty,
+    )
+
+    # Uncertainty-head supervision (round-1 gap: the estimator received
+    # zero gradient). Matching error of each frame-1 keypoint = 1 - cosine
+    # similarity of its mutual-NN match; confidence is trained to predict
+    # it (calibration MSE + expected-error L1,
+    # reference `uncertainty_estimator.py:69-121`).
+    match_err = jnp.clip(1.0 - m.score, 0.0, 2.0)
+    conf_valid = m.valid & kp1.valid
+    cal = uncertainty.calibration_loss(conf1[..., None], match_err, conf_valid)
+    ee = uncertainty.expected_error_loss(conf1[..., None], match_err, conf_valid)
+    w = cfg.loss.weights
+    extra = (
+        w.get("calibration", 0.3) * cal + w.get("expected_error", 0.02) * ee
+    )
+    bundle = losses.LossBundle(
+        total=bundle.total + jnp.where(jnp.isfinite(extra), extra, 0.0),
+        components={**bundle.components, "calibration": cal, "expected_error": ee},
     )
     metrics = {
         "num_matches": jnp.mean(m.count().astype(jnp.float32)),

@@ -164,3 +164,19 @@ logging:
     assert cfg.loss.weights["desc"] == 8.0
     assert cfg.training.lr == 1e-4
     assert cfg.dataset.augmentation.brightness == 0.2
+
+
+def test_estimator_receives_gradient(setup, rng):
+    """Round-1 gap: the uncertainty head had zero gradient. With the
+    calibration/expected-error losses in the step, its params must move."""
+    cfg, mesh, model, state, step = setup
+    batch = mesh_lib.shard_batch(mesh, _batch(rng))
+    before = jax.device_get(state.trainable["estimator"])
+    state2, out = step(state, batch)
+    after = jax.device_get(state2.trainable["estimator"])
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), after, before
+    )
+    assert max(jax.tree.leaves(diffs)) > 0.0
+    assert np.isfinite(float(out["calibration"]))
+    assert np.isfinite(float(out["expected_error"]))
