@@ -24,7 +24,7 @@ Design notes
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -174,42 +174,3 @@ def detect(
     ys = (indices // W).astype(jnp.float32)
     xs = (indices % W).astype(jnp.float32)
     return Keypoints(xy=jnp.stack([xs, ys], axis=-1), score=values, valid=valid)
-
-
-def detect_pyramid(
-    pyramid,
-    num_keypoints: int,
-    threshold: float = 0.08,
-    nms_radius: int = 3,
-    margin: int = 16,
-    scale: float = 1.2,
-) -> Tuple[Keypoints, jnp.ndarray]:
-    """Multi-scale detection over an image pyramid (list of (B, Hi, Wi)).
-
-    Keypoints are distributed uniformly-ish over levels (per-level quota
-    proportional to level area, like ORB-SLAM's per-level nfeatures
-    split), coordinates mapped back to level-0 pixels. Returns
-    (Keypoints at level-0 coords, per-keypoint level indices (B, K)).
-    """
-    n_levels = len(pyramid)
-    areas = np.array([p.shape[1] * p.shape[2] for p in pyramid], dtype=np.float64)
-    quotas = np.maximum((num_keypoints * areas / areas.sum()).astype(int), 1)
-    # Fix rounding so quotas sum exactly to K.
-    quotas[0] += num_keypoints - int(quotas.sum())
-
-    xys, scores, valids, levels = [], [], [], []
-    for lvl, (img, k) in enumerate(zip(pyramid, quotas)):
-        kp = detect(img, int(k), threshold, nms_radius, margin)
-        factor = scale**lvl
-        xys.append(kp.xy * factor)
-        scores.append(kp.score)
-        valids.append(kp.valid)
-        levels.append(jnp.full(kp.score.shape, lvl, dtype=jnp.int32))
-    return (
-        Keypoints(
-            xy=jnp.concatenate(xys, axis=1),
-            score=jnp.concatenate(scores, axis=1),
-            valid=jnp.concatenate(valids, axis=1),
-        ),
-        jnp.concatenate(levels, axis=1),
-    )

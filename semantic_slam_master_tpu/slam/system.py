@@ -16,6 +16,16 @@ RANSAC + Gauss-Newton PnP against the map, then — inside `lax.cond` —
 insert a keyframe (new landmarks from unmatched keypoints, observation
 row write, window BA) when tracking support drops below threshold.
 
+Relocalization is IMPLICIT in this design: data association is exact
+brute force against the ENTIRE landmark buffer every frame (one matmul
+— the thing DBoW retrieval approximates on CPU), and PnP needs no pose
+prior, so the first frame with enough features after a tracking loss
+(sensor dropout, kidnapped-robot teleport) re-localizes against the
+global map; the constant-position fallback only bridges the gap
+(tests/test_relocalization.py). BoW (slam/bow.py) remains for loop
+*detection*, where the temporal-exclusion window — not matching cost —
+is the point.
+
 The expensive frontend runs batched over ALL frames before the scan
 (see `tracking.extract_features`); the scan body is small dense algebra.
 """

@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import lie
 from ..core.camera import PinholeCamera, backproject
@@ -39,6 +40,24 @@ class FrameFeatures(NamedTuple):
     sem_weight: jnp.ndarray  # (F, N) semantic/confidence residual weight
 
 
+def build_pyramid(
+    gray: jnp.ndarray, num_levels: int, scale_factor: float = 1.2
+) -> list:
+    """Successively-resized image pyramid (level 0 = input), shapes
+    rounded to multiples of 8 so every level hits the detector's fast
+    two-stage top-k path. Static shapes: the pyramid geometry is fixed
+    at trace time."""
+    levels = [gray]
+    B, H, W = gray.shape
+    for i in range(1, num_levels):
+        h = max(int(round(H / scale_factor**i / 8)) * 8, 24)
+        w = max(int(round(W / scale_factor**i / 8)) * 8, 24)
+        levels.append(
+            jax.image.resize(levels[-1], (B, h, w), method="bilinear")
+        )
+    return levels
+
+
 def extract_features(
     gray: jnp.ndarray,
     depth: jnp.ndarray,
@@ -46,8 +65,19 @@ def extract_features(
     threshold: float = 0.05,
     nms_radius: int = 3,
     weight_map: jnp.ndarray | None = None,
+    num_levels: int = 4,
+    scale_factor: float = 1.2,
 ) -> FrameFeatures:
-    """Batched ORB frontend: (F, H, W) gray + depth -> FrameFeatures.
+    """Batched multi-scale ORB frontend: (F, H, W) gray + depth ->
+    FrameFeatures.
+
+    Scale invariance via an image pyramid (ORB-SLAM runs 8 levels at
+    factor 1.2, `baselines/pyslam/scripts/setup.sh:69-70`; default here
+    is 4 — forward-motion scale drift on TUM is well inside 1.2^3): each
+    level gets an area-proportional keypoint quota, is detected and
+    described at its own resolution, and coordinates map back to level 0.
+    Per-level work is a statically-unrolled loop of fixed-shape ops — the
+    XLA-friendly form of the reference baselines' pyramid loops.
 
     Keypoints with invalid (zero) depth stay in the arrays but are
     masked — fixed shapes throughout. ``weight_map`` is an optional
@@ -56,17 +86,39 @@ def extract_features(
     ``sem_weight`` (the north-star "semantic labels weighting the
     reprojection residuals" hook).
     """
-    blurred = image.gaussian_blur(gray, sigma=2.0, radius=3)
-    kp = fast.detect(gray, num_keypoints, threshold, nms_radius)
-    desc = orb.describe(blurred, kp.xy, prefiltered=True)
-    d = nearest_sample(depth, kp.xy)
-    valid = kp.valid & (d > 0.05) & (d < 15.0)
+    levels = build_pyramid(gray, num_levels, scale_factor)
+    areas = np.array([p.shape[1] * p.shape[2] for p in levels], dtype=np.float64)
+    quotas = np.maximum((num_keypoints * areas / areas.sum()).astype(int), 1)
+    quotas[0] += num_keypoints - int(quotas.sum())
+
+    xys, descs, scores, valids = [], [], [], []
+    H0, W0 = gray.shape[1:]
+    for lvl, (img, quota) in enumerate(zip(levels, quotas)):
+        kp = fast.detect(img, int(quota), threshold, nms_radius)
+        blurred = image.gaussian_blur(img, sigma=2.0, radius=3)
+        desc = orb.describe(blurred, kp.xy, prefiltered=True)
+        # Map to level-0 pixels via the ACTUAL resize ratio (shapes are
+        # rounded to /8, so don't assume scale_factor**lvl exactly).
+        ry = (H0 - 1) / max(img.shape[1] - 1, 1)
+        rx = (W0 - 1) / max(img.shape[2] - 1, 1)
+        xys.append(kp.xy * jnp.asarray([rx, ry], kp.xy.dtype))
+        descs.append(desc)
+        scores.append(kp.score)
+        valids.append(kp.valid)
+
+    xy = jnp.concatenate(xys, axis=1)
+    desc = jnp.concatenate(descs, axis=1)
+    score = jnp.concatenate(scores, axis=1)
+    kp_valid = jnp.concatenate(valids, axis=1)
+
+    d = nearest_sample(depth, xy)
+    valid = kp_valid & (d > 0.05) & (d < 15.0)
     if weight_map is None:
         sem_w = jnp.ones_like(d)
     else:
-        sem_w = nearest_sample(weight_map, kp.xy)
+        sem_w = nearest_sample(weight_map, xy)
     return FrameFeatures(
-        xy=kp.xy, desc=desc, depth=d, valid=valid, score=kp.score, sem_weight=sem_w
+        xy=xy, desc=desc, depth=d, valid=valid, score=score, sem_weight=sem_w
     )
 
 

@@ -1,0 +1,142 @@
+"""Golden-parity fixtures for ATE/RPE (VERDICT r1 weak #4).
+
+evo cannot be installed in this container (zero egress), so the aligner
+is pinned two ways:
+
+1. closed-form constructions where the TRUE post-alignment error is
+   known analytically (residuals orthogonal to the centered trajectory
+   make identity the provably-optimal Umeyama alignment; a single
+   right-perturbed pose makes RPE exactly the perturbation), asserted to
+   1e-9 — far tighter than the 1% the "within 1% of ORB-SLAM3" claims
+   need (`scripts/evaluate_baseline.py:57-129` is the contract);
+2. a direct evo cross-check that runs automatically wherever evo IS
+   installed (pytest.importorskip).
+"""
+
+import numpy as np
+import pytest
+
+from semantic_slam_master_tpu.core import lie
+from semantic_slam_master_tpu.eval import ate_rpe
+
+
+def _random_trajectory(n=50, seed=0):
+    rng = np.random.default_rng(seed)
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    t = np.linspace(0, 2 * np.pi, n)
+    poses[:, :3, 3] = np.stack(
+        [np.cos(t), np.sin(t), 0.1 * t], axis=1
+    ) + rng.normal(0, 0.01, (n, 3))
+    for i in range(n):
+        w = rng.normal(0, 0.1, 3)
+        poses[i, :3, :3] = np.asarray(lie.so3_exp(w))
+    return poses
+
+
+def test_ate_closed_form_golden():
+    """Residuals e with sum(e)=0 and cov(traj, e)=0 make identity the
+    optimal rigid alignment, so ATE rmse == sqrt(mean ||e||^2) EXACTLY."""
+    gt = _random_trajectory()
+    p = gt[:, :3, 3]
+    p_c = p - p.mean(axis=0)
+
+    rng = np.random.default_rng(1)
+    e = rng.normal(0, 0.05, p.shape)
+    e -= e.mean(axis=0)  # zero mean
+    # Remove the component correlated with the centered trajectory:
+    # e <- e - p_c (p_c^T p_c)^{-1} p_c^T e  =>  p_c^T e = 0.
+    A = np.linalg.solve(p_c.T @ p_c, p_c.T @ e)
+    e = e - p_c @ A
+    assert np.allclose(e.mean(axis=0), 0, atol=1e-12)
+    assert np.allclose(p_c.T @ e, 0, atol=1e-10)
+
+    est = gt.copy()
+    est[:, :3, 3] = p + e
+    expected_rmse = float(np.sqrt(np.mean(np.sum(e**2, axis=1))))
+    got = ate_rpe.compute_ate(gt, est)["rmse"]
+    assert got == pytest.approx(expected_rmse, abs=1e-9)
+
+
+def test_ate_rigid_invariance():
+    """ATE must be invariant to an arbitrary rigid transform of the
+    estimate (the whole point of Umeyama alignment)."""
+    gt = _random_trajectory(seed=2)
+    rng = np.random.default_rng(3)
+    est = gt.copy()
+    est[:, :3, 3] += rng.normal(0, 0.03, (len(gt), 3))
+    base = ate_rpe.compute_ate(gt, est)["rmse"]
+
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(lie.so3_exp(np.array([0.7, -0.4, 1.1])))
+    T[:3, 3] = [5.0, -3.0, 2.0]
+    est_moved = T @ est
+    moved = ate_rpe.compute_ate(gt, est_moved)["rmse"]
+    # float64 SVD reproducibility bound; still ~1e4x tighter than the 1%
+    # the baseline comparisons need.
+    assert moved == pytest.approx(base, rel=1e-6)
+
+
+def test_ate_zero_on_identical():
+    gt = _random_trajectory(seed=4)
+    assert ate_rpe.compute_ate(gt, gt)["rmse"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_rpe_closed_form_golden():
+    """Right-perturbing ONE pose by D makes exactly one non-overlapping
+    pair's relative error equal D: rmse = err(D)/sqrt(num_pairs)."""
+    gt = _random_trajectory(n=41, seed=5)
+    delta = 10  # pairs: (0,10),(10,20),(20,30),(30,40) -> 4 pairs
+    D_t = np.array([0.03, -0.04, 0.12])  # |D_t| = 0.13
+    D_w = np.array([0.0, 0.2, 0.0])  # 0.2 rad = 11.459 deg
+    D = np.eye(4)
+    D[:3, :3] = np.asarray(lie.so3_exp(D_w))
+    D[:3, 3] = D_t
+
+    est = gt.copy()
+    # Perturb the LAST pose: only the final pair (30,40) is affected, and
+    # its error matrix is exactly D (a mid-trajectory perturbation would
+    # also hit the following pair with a conjugated inverse).
+    est[40] = gt[40] @ D
+
+    rpe = ate_rpe.compute_rpe(gt, est, delta=delta)
+    n_pairs = 4
+    expected_trans = np.sqrt(np.linalg.norm(D_t) ** 2 / n_pairs)
+    expected_rot = np.sqrt(np.degrees(0.2) ** 2 / n_pairs)
+    assert rpe["translation"]["rmse"] == pytest.approx(expected_trans, rel=1e-9)
+    assert rpe["rotation"]["rmse"] == pytest.approx(expected_rot, rel=1e-6)
+
+
+def test_umeyama_with_scale():
+    """Scale recovery: est = s * gt exactly -> ATE 0 with with_scale."""
+    gt = _random_trajectory(seed=6)
+    est = gt.copy()
+    est[:, :3, 3] *= 2.5
+    assert ate_rpe.compute_ate(gt, est, with_scale=True)["rmse"] == pytest.approx(
+        0.0, abs=1e-10
+    )
+    assert ate_rpe.compute_ate(gt, est, with_scale=False)["rmse"] > 0.5
+
+
+def test_evo_cross_check():
+    """Direct parity vs evo where it's installed (skipped otherwise —
+    this container has no egress to install it)."""
+    pytest.importorskip("evo")
+    from evo.core import metrics, sync
+    from evo.core.trajectory import PoseTrajectory3D
+
+    gt = _random_trajectory(seed=7)
+    rng = np.random.default_rng(8)
+    est = gt.copy()
+    est[:, :3, 3] += rng.normal(0, 0.02, (len(gt), 3))
+    ts = np.arange(len(gt)) / 30.0
+
+    traj_gt = PoseTrajectory3D(poses_se3=list(gt), timestamps=ts)
+    traj_est = PoseTrajectory3D(poses_se3=list(est), timestamps=ts)
+    traj_gt, traj_est = sync.associate_trajectories(traj_gt, traj_est, 0.01)
+    traj_est.align(traj_gt, correct_scale=False)
+    ape = metrics.APE(metrics.PoseRelation.translation_part)
+    ape.process_data((traj_gt, traj_est))
+    evo_rmse = ape.get_statistic(metrics.StatisticsType.rmse)
+
+    ours = ate_rpe.evaluate_trajectory(ts, gt, ts, est)["ate"]["rmse"]
+    assert ours == pytest.approx(evo_rmse, rel=1e-3)

@@ -70,17 +70,3 @@ def test_detect_on_textured_image(rng):
     assert xy[:, 0].min() >= 16 and xy[:, 1].min() >= 16
 
 
-def test_detect_pyramid():
-    from semantic_slam_master_tpu.data import synthetic
-
-    seq = synthetic.make_sequence(num_frames=1, scale=0.5)
-    gray = image.rgb_to_gray(jnp.asarray(seq.frame(0)["rgb"])[None])
-    pyr = image.build_pyramid(gray, 3)
-    kp, levels = fast.detect_pyramid(pyr, 300, threshold=0.05)
-    assert kp.xy.shape[1] == 300
-    lv = np.asarray(levels)[0]
-    valid = np.asarray(kp.valid)[0]
-    assert set(np.unique(lv[valid])) >= {0, 1}
-    # level-1 coords are scaled back to level-0 pixel space
-    xy = np.asarray(kp.xy)[0]
-    assert xy[:, 0].max() < gray.shape[2]

@@ -1,0 +1,73 @@
+"""Relocalization after tracking failure.
+
+ORB-SLAM3 relocalizes via DBoW candidate retrieval because CPU
+brute-force against the whole map is too slow; this framework's data
+association IS brute-force against the entire landmark buffer every
+frame (one MXU matmul, `slam.system.match_features`), so relocalization
+is implicit: the first frame with enough valid features after a loss
+re-localizes against the global map with no pose prior. These tests pin
+that behavior (VERDICT r1 missing #6 — previously untested).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from semantic_slam_master_tpu.core.camera import TUM_FR2
+from semantic_slam_master_tpu.data import synthetic
+from semantic_slam_master_tpu.ops import image
+from semantic_slam_master_tpu.slam import system, tracking
+
+
+def _run(gray, depth, cam):
+    feats = tracking.extract_features(
+        jnp.asarray(gray), jnp.asarray(depth), num_keypoints=512
+    )
+    out = system.run_slam(jax.random.PRNGKey(0), feats, cam)
+    return np.asarray(jax.device_get(out.poses_wc)), np.asarray(out.num_inliers)
+
+
+def _frame_errors(poses, gt_poses):
+    gt0 = np.linalg.inv(gt_poses[0]) @ gt_poses  # SLAM world = frame-0 cam
+    return np.linalg.norm(poses[:, :3, 3] - gt0[:, :3, 3], axis=1)
+
+
+def test_recovers_from_sensor_dropout():
+    """Blank frames (0 valid keypoints) -> constant-position drift; the
+    first good frame snaps back to the true pose via global matching."""
+    seq = synthetic.make_sequence(num_frames=24, scale=0.5)
+    frames = seq.frames()
+    gray = np.stack([np.asarray(image.rgb_to_gray(f["rgb"])) for f in frames])
+    depth = np.stack([f["depth"] for f in frames])
+    gray[10:13] = 0.0
+    depth[10:13] = 0.0
+
+    poses, inliers = _run(gray, depth, seq.cam)
+    err = _frame_errors(poses, np.asarray(seq.poses_wc))
+
+    assert (inliers[10:13] == 0).all(), "dropout frames must fail tracking"
+    assert err[12] > 0.05, "constant-position fallback should drift"
+    # Recovery within ONE frame of data returning.
+    assert inliers[13] > 50
+    assert err[13] < 0.03, f"should relocalize immediately: {err[13]}"
+    assert err[14:].max() < 0.05
+
+
+def test_recovers_from_teleport():
+    """A discontinuous pose jump (kidnapped-robot) breaks any
+    constant-velocity prior; map-global matching relocalizes anyway."""
+    ts, poses_wc = synthetic.orbit_trajectory(24)
+    poses_wc[12:] = poses_wc[2:14]  # jump back to revisit early views
+    seq = synthetic.SyntheticSequence(
+        cam=TUM_FR2.scaled(0.5, 0.5), timestamps=ts, poses_wc=poses_wc
+    )
+    frames = seq.frames()
+    gray = np.stack([np.asarray(image.rgb_to_gray(f["rgb"])) for f in frames])
+    depth = np.stack([f["depth"] for f in frames])
+
+    poses, inliers = _run(gray, depth, seq.cam)
+    err = _frame_errors(poses, poses_wc)
+
+    assert err[12] < 0.05, f"teleport frame should relocalize: {err[12]}"
+    assert err[14:].max() < 0.05
+    assert (inliers[12:] > 50).all()
