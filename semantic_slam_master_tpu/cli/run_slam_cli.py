@@ -146,16 +146,26 @@ def run_sequence(seq, out_path: Path, args) -> dict:
         window_size=args.window_size,
         ba_iters=args.ba_iters,
     )
-    out = system.run_slam(jax.random.PRNGKey(args.seed), feats, seq.cam, cfg)
-    poses = np.asarray(jax.device_get(out.poses_wc), dtype=np.float64)
     n_loops = 0
-    if args.loop_closure:
-        from ..slam import loop_closing
+    if args.loop_closure == "online":
+        from ..slam import online
 
-        poses, loops = loop_closing.close_sequence_loops(
-            poses, feats, np.asarray(out.is_keyframe), seq.cam
+        out, loops = online.run_slam_online(
+            jax.random.PRNGKey(args.seed), feats, seq.cam, cfg,
+            chunk_size=args.chunk_size,
         )
+        poses = np.asarray(jax.device_get(out.poses_wc), dtype=np.float64)
         n_loops = len(loops)
+    else:
+        out = system.run_slam(jax.random.PRNGKey(args.seed), feats, seq.cam, cfg)
+        poses = np.asarray(jax.device_get(out.poses_wc), dtype=np.float64)
+        if args.loop_closure == "offline":
+            from ..slam import loop_closing
+
+            poses, loops = loop_closing.close_sequence_loops(
+                poses, feats, np.asarray(out.is_keyframe), seq.cam
+            )
+            n_loops = len(loops)
     t_slam = time.perf_counter() - t0
 
     timestamps = getattr(seq, "timestamps", np.arange(n) / 30.0)
@@ -197,8 +207,14 @@ def main(argv=None):
     parser.add_argument("--window-size", type=int, default=5)
     parser.add_argument("--ba-iters", type=int, default=4)
     parser.add_argument("--max-frames", type=int, default=None)
-    parser.add_argument("--loop-closure", action="store_true",
-                        help="BoW loop detection + pose-graph correction pass")
+    parser.add_argument("--loop-closure", nargs="?", const="offline",
+                        choices=["off", "offline", "online"], default="off",
+                        help="BoW loop closing: 'offline' = post-pass over "
+                             "the finished run; 'online' = streaming "
+                             "between-chunk closure that re-anchors the "
+                             "live map (slam/online.py)")
+    parser.add_argument("--chunk-size", type=int, default=32,
+                        help="frames per jitted scan chunk (online mode)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 

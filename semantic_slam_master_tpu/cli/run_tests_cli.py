@@ -19,6 +19,9 @@ def main(argv=None):
     parser.add_argument("--frontend", choices=("orb", "learned"), default="orb")
     parser.add_argument("--checkpoint", default=None,
                         help="orbax checkpoint for the learned frontend")
+    parser.add_argument("--config", default=None,
+                        help="training YAML the checkpoint was produced "
+                             "with (model dims must match)")
     parser.add_argument("--difficulty",
                         choices=("easy", "normal", "hard", "extreme"),
                         default="normal")
@@ -57,7 +60,7 @@ def main(argv=None):
 
         from ..train import config as config_mod, trainer
 
-        cfg = config_mod.Config()
+        cfg = config_mod.load_config(args.config)
         model, state = trainer.create_train_state(cfg, steps_per_epoch=1)
         if args.checkpoint:
             state, _ = trainer.restore_checkpoint(args.checkpoint, state)

@@ -26,6 +26,7 @@ from dataclasses import field
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,6 +93,13 @@ class ViTBackbone(nn.Module):
     patch_size: int = 16
     num_registers: int = 4
     mlp_ratio: float = 4.0
+    # Canonical positional-embedding grid. The param is stored at this
+    # fixed (pos_grid, pos_grid) resolution and bilinearly resized to the
+    # input's patch grid at apply time (timm's interpolation recipe), so
+    # one checkpoint serves any input resolution — train at 448^2, run
+    # SLAM on 640x480. 28 = 448/16, the DINOv3 grid, which also makes
+    # `convert_timm_state_dict` a direct copy.
+    pos_grid: int = 28
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -118,11 +126,18 @@ class ViTBackbone(nn.Module):
             nn.initializers.normal(0.02),
             (1, self.num_registers, self.embed_dim),
         )
+        pg = self.pos_grid
         pos = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
-            (1, gh * gw, self.embed_dim),
+            (1, pg * pg, self.embed_dim),
         )
+        if (gh, gw) != (pg, pg):
+            pos = jax.image.resize(
+                pos.reshape(1, pg, pg, self.embed_dim),
+                (1, gh, gw, self.embed_dim),
+                method="bilinear",
+            ).reshape(1, gh * gw, self.embed_dim)
         x = x + pos
         tokens = jnp.concatenate(
             [
@@ -167,19 +182,35 @@ def pixel_to_patch(pixel_coords: jnp.ndarray, patch_size: int = 16) -> jnp.ndarr
     return (pixel_coords - patch_size / 2) / patch_size
 
 
-def convert_timm_state_dict(state_dict: dict, depth: int = 12) -> dict:
+def convert_timm_state_dict(
+    state_dict: dict, depth: int = 12, pos_grid: int = 28
+) -> dict:
     """Map a timm DINOv3 ViT state dict (numpy arrays) onto this module's
     parameter tree, for deployments that ship pretrained weights.
 
     Expects timm names: patch_embed.proj.{weight,bias}, cls_token,
     reg_token, pos_embed, blocks.N.{norm1,attn.qkv,attn.proj,norm2,
-    mlp.fc1,mlp.fc2}.{weight,bias}, norm.{weight,bias}.
+    mlp.fc1,mlp.fc2}.{weight,bias}, norm.{weight,bias}. The last
+    pos_grid^2 rows of pos_embed are taken (prefix-token embeddings, when
+    present, are dropped — the reference strips prefix tokens the same
+    way, `dino_backbone.py:91`). ``feature_norm`` (the post-hoc BatchNorm,
+    `dino_backbone.py:56`) is initialized fresh — identity, like the
+    reference's newly-constructed BatchNorm1d.
+
+    Layout conventions (conv (out,in,kh,kw), linear (out,in), fused qkv
+    [q;k;v] rows, head-major reshape) are pinned by
+    tests/test_timm_convert.py against a torch mirror forward.
     """
 
     def t(w):  # torch linear (out, in) -> flax (in, out)
         return np.asarray(w).T
 
+    embed_dim = int(np.asarray(state_dict["cls_token"]).shape[-1])
     params = {
+        "feature_norm": {
+            "scale": np.ones((embed_dim,), np.float32),
+            "bias": np.zeros((embed_dim,), np.float32),
+        },
         "patch_embed": {
             # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
             "kernel": np.transpose(
@@ -191,7 +222,7 @@ def convert_timm_state_dict(state_dict: dict, depth: int = 12) -> dict:
         "register_tokens": np.asarray(
             state_dict.get("reg_token", state_dict.get("register_tokens"))
         ),
-        "pos_embed": np.asarray(state_dict["pos_embed"])[:, -784:],
+        "pos_embed": np.asarray(state_dict["pos_embed"])[:, -pos_grid * pos_grid :],
         "norm": {
             "scale": np.asarray(state_dict["norm.weight"]),
             "bias": np.asarray(state_dict["norm.bias"]),

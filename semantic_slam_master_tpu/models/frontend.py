@@ -44,6 +44,7 @@ class LearnedFrontend(nn.Module):
     depth: int = 12
     num_heads: int = 6
     patch_size: int = 16
+    pos_grid: int = 28
     selector_hidden: int = 256
     refiner_hidden: int = 384
     refiner_layers: int = 4
@@ -59,6 +60,7 @@ class LearnedFrontend(nn.Module):
             depth=self.depth,
             num_heads=self.num_heads,
             patch_size=self.patch_size,
+            pos_grid=self.pos_grid,
             dtype=self.dtype,
         )
         self.selector = KeypointSelector(hidden_dim=self.selector_hidden)
@@ -118,6 +120,7 @@ def tiny_frontend(**overrides) -> LearnedFrontend:
         descriptor_dim=32,
         estimator_hidden=32,
         num_keypoints=64,
+        pos_grid=8,
     )
     cfg.update(overrides)
     return LearnedFrontend(**cfg)

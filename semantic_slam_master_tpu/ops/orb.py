@@ -57,6 +57,20 @@ def make_test_pattern(seed: int = 7) -> np.ndarray:
 _DEFAULT_PATTERN = make_test_pattern()
 
 
+def set_test_pattern(pattern: np.ndarray) -> None:
+    """Swap the BRIEF test pattern (256, 4) int8 and rebuild the derived
+    steering banks. Deployments needing OpenCV-bit-exact descriptors can
+    inject OpenCV's `bit_pattern_31_` here at startup; all describe paths
+    (gather, matmul, patch) read the banks this rebuilds."""
+    global _DEFAULT_PATTERN, _PATTERN_BANK, _BIN_SELECT
+    pattern = np.asarray(pattern, np.int8)
+    assert pattern.shape == (NUM_BITS, 4), pattern.shape
+    assert np.abs(pattern).max() <= PATCH_RADIUS
+    _DEFAULT_PATTERN = pattern
+    _PATTERN_BANK = _steered_pattern_bank(pattern)
+    _BIN_SELECT = _bin_select_matrices()
+
+
 def _orientation_weights() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Circular-disc x/y moment weights for the intensity centroid."""
     r = PATCH_RADIUS

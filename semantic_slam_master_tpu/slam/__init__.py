@@ -1,5 +1,6 @@
-from . import ba, bow, loop_closing, pnp, posegraph, system, tracking
+from . import ba, bow, loop_closing, online, pnp, posegraph, system, tracking
 
 __all__ = [
-    "ba", "bow", "loop_closing", "pnp", "posegraph", "system", "tracking",
+    "ba", "bow", "loop_closing", "online", "pnp", "posegraph", "system",
+    "tracking",
 ]

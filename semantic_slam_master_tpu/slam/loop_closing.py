@@ -61,9 +61,13 @@ def close_sequence_loops(
     min_inliers: int = 25,
     max_loops: int = 10,
     seed: int = 0,
+    exclude=(),
 ) -> Tuple[np.ndarray, List[Tuple[int, int, float]]]:
     """Detect + close loops; returns (corrected poses (F, 4, 4),
-    accepted loop list [(frame_i, frame_j, score)])."""
+    accepted loop list [(frame_i, frame_j, score)]).
+
+    ``exclude``: (frame_i, frame_j[, score]) loops already closed —
+    skipped as candidates (incremental callers: slam.online)."""
     poses_wc = np.asarray(poses_wc, dtype=np.float64)
     kf_idx = np.flatnonzero(np.asarray(is_keyframe))
     if len(kf_idx) < 3:
@@ -83,6 +87,8 @@ def close_sequence_loops(
         features.desc, features.valid, kf_idx, vocab,
         min_score=min_score, min_frame_gap=min_frame_gap,
     )
+    done = {(int(e[0]), int(e[1])) for e in exclude}
+    candidates = [c for c in candidates if (c[0], c[1]) not in done]
     candidates.sort(key=lambda t: -t[2])
 
     kf_pos = {int(f): k for k, f in enumerate(kf_idx)}

@@ -1,0 +1,154 @@
+"""Online (streaming) SLAM with loop closure — the chunked-scan architecture.
+
+ORB-SLAM3 runs tracking, local mapping, and loop closing as concurrent
+C++ threads (`baselines/orb_slam3/scripts/setup.sh:146-262` builds them;
+SURVEY.md §2.2 "loop closing"). The TPU-native decomposition is temporal
+instead of thread-based:
+
+- the sequential tracking/mapping core is the jitted fixed-shape scan
+  (`system.run_slam_steps`), executed in CHUNKS of frames — one compile
+  serves every chunk;
+- between chunks (the natural synchronization point), BoW loop detection
+  + geometric verification + pose-graph optimization run over the
+  keyframe history so far (`loop_closing`, `posegraph`);
+- an accepted loop rigidly re-anchors the ACTIVE map: the correction of
+  the most recent pose is applied to landmark positions, window
+  keyframes, and the tracking prior, so every subsequent chunk tracks
+  against the corrected world — the on-device analogue of ORB-SLAM3's
+  "correct the active map with the current keyframe's correction".
+
+This is genuinely online: corrections influence subsequent tracking and
+latency is bounded by the chunk length (a 32-frame chunk at 30 fps is
+~1 s of video, matching loop-closing-thread latencies on CPU systems).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import PinholeCamera
+from . import loop_closing, system
+from .system import MapState, SlamConfig, SlamOutput
+from .tracking import FrameFeatures
+
+
+def _apply_correction(
+    state: MapState, T_prev_wc: jnp.ndarray, delta_wc: jnp.ndarray
+) -> Tuple[MapState, jnp.ndarray]:
+    """Rigidly move the active map by a world-frame correction ``delta``:
+    x' = delta @ x for world points, so camera-in-world poses map
+    T_wc' = delta @ T_wc and world->camera keyframe poses
+    T_cw' = T_cw @ delta^{-1}."""
+    delta = jnp.asarray(delta_wc, jnp.float32)
+    R, t = delta[:3, :3], delta[:3, 3]
+    positions = state.positions @ R.T + t
+    inv = jnp.linalg.inv(delta)
+    kf_poses = state.kf_poses @ inv[None]
+    return (
+        state._replace(positions=positions, kf_poses=kf_poses),
+        delta @ T_prev_wc,
+    )
+
+
+def run_slam_online(
+    key: jax.Array,
+    features: FrameFeatures,
+    cam: PinholeCamera,
+    cfg: SlamConfig = SlamConfig(),
+    chunk_size: int = 32,
+    enable_loop_closure: bool = True,
+    min_score: float = 0.35,
+    min_frame_gap: int = 30,
+    min_inliers: int = 25,
+    max_loops_per_pass: int = 5,
+) -> Tuple[SlamOutput, List[Tuple[int, int, float]]]:
+    """Streaming SLAM over ``features`` with between-chunk loop closure.
+
+    With ``enable_loop_closure=False`` the output is EXACTLY
+    ``system.run_slam`` (same per-frame PRNG keys, same scan) — chunking
+    is a pure execution-schedule change, pinned by tests.
+
+    Returns (SlamOutput over all F frames, accepted loops
+    [(frame_i, frame_j, score)]).
+    """
+    F = features.xy.shape[0]
+    keys = jax.random.split(key, F)
+
+    first = jax.tree.map(lambda x: x[0], features)
+    state = system.bootstrap_map(first, cam, cfg)
+    T_prev = jnp.eye(4, dtype=jnp.float32)
+
+    poses = [np.eye(4, dtype=np.float64)]
+    n_inl = [0]
+    n_match = [0]
+    is_kf = [True]
+    accepted: List[Tuple[int, int, float]] = []
+    vocab = None
+
+    pos = 1
+    while pos < F:
+        end = min(pos + chunk_size, F)
+        n = end - pos
+        chunk = jax.tree.map(lambda x: x[pos:end], features)
+        chunk_keys = keys[pos:end]
+        if n < chunk_size:
+            # Pad the tail chunk to the compiled shape with invalid frames
+            # (zero valid keypoints -> PnP fails -> constant-position rows,
+            # dropped below). Avoids a second compile for the remainder.
+            pad = chunk_size - n
+
+            def pad_frames(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+                )
+
+            chunk = jax.tree.map(pad_frames, chunk)
+            chunk_keys = jnp.concatenate(
+                [chunk_keys, jnp.zeros((pad,) + chunk_keys.shape[1:],
+                                       chunk_keys.dtype)],
+                axis=0,
+            )
+        (state, T_prev), out = system.run_slam_steps(
+            chunk_keys, chunk, cam, cfg, state, T_prev
+        )
+        out = jax.tree.map(lambda x: np.asarray(x)[:n], out)
+        poses.extend(np.asarray(out.poses_wc, np.float64))
+        n_inl.extend(out.num_inliers.tolist())
+        n_match.extend(out.num_matches.tolist())
+        is_kf.extend(out.is_keyframe.tolist())
+        pos = end
+
+        if not enable_loop_closure:
+            continue
+        hist_poses = np.stack(poses)
+        hist_kf = np.asarray(is_kf, bool)
+        feats_hist = jax.tree.map(lambda x: x[: len(poses)], features)
+        corrected, loops = loop_closing.close_sequence_loops(
+            hist_poses,
+            feats_hist,
+            hist_kf,
+            cam,
+            vocab=vocab,
+            min_score=min_score,
+            min_frame_gap=min_frame_gap,
+            min_inliers=min_inliers,
+            max_loops=max_loops_per_pass,
+            exclude=accepted,
+        )
+        if loops:
+            delta = corrected[-1] @ np.linalg.inv(hist_poses[-1])
+            state, T_prev = _apply_correction(state, T_prev, delta)
+            poses = list(corrected)
+            accepted.extend(loops)
+
+    out = SlamOutput(
+        poses_wc=jnp.asarray(np.stack(poses), jnp.float32),
+        num_inliers=jnp.asarray(n_inl, jnp.int32),
+        num_matches=jnp.asarray(n_match, jnp.int32),
+        is_keyframe=jnp.asarray(is_kf, bool),
+    )
+    return out, accepted

@@ -238,39 +238,44 @@ def _run_local_ba(state: MapState, cam: PinholeCamera, cfg: SlamConfig) -> MapSt
     return state._replace(kf_poses=result.poses, positions=result.points)
 
 
-@partial(jax.jit, static_argnames=("cam", "cfg"))
-def run_slam(
-    key: jax.Array,
-    features: FrameFeatures,
-    cam: PinholeCamera,
-    cfg: SlamConfig = SlamConfig(),
-) -> SlamOutput:
-    """Run semantic SLAM over a sequence of per-frame features.
-
-    ``features.sem_weight`` carries per-keypoint semantic/confidence
-    residual weights (from models.segmenter / models.uncertainty); they
-    bias RANSAC voting, GN refinement, landmark creation weight, and BA
-    confidence. All-ones = classic geometry-only SLAM.
-    """
-    F = features.xy.shape[0]
-    keys = jax.random.split(key, F)
-
+def bootstrap_map(
+    features_first, cam: PinholeCamera, cfg: SlamConfig
+) -> MapState:
+    """First frame defines the world: all its valid keypoints become
+    landmarks and keyframe 0 (at identity)."""
     state0 = init_map(
-        cfg, desc_dim=features.desc.shape[-1], desc_dtype=features.desc.dtype
+        cfg,
+        desc_dim=features_first.desc.shape[-1],
+        desc_dtype=features_first.desc.dtype,
     )
-    # Bootstrap: first frame defines the world; all its valid keypoints
-    # become landmarks and keyframe 0.
-    first = jax.tree.map(lambda x: x[0], features)
     eye = jnp.eye(4, dtype=jnp.float32)
     state0 = _insert_landmarks(
-        state0, eye, first, first.valid, first.sem_weight, cam
+        state0, eye, features_first, features_first.valid,
+        features_first.sem_weight, cam,
     )
     # Observation row for the bootstrap keyframe: the landmarks it created.
-    n = first.xy.shape[0]
-    lm_idx0 = (jnp.cumsum(first.valid) - 1) % cfg.num_landmarks
-    state0 = _write_keyframe(
-        state0, eye, first, lm_idx0, first.valid, first.sem_weight
+    lm_idx0 = (jnp.cumsum(features_first.valid) - 1) % cfg.num_landmarks
+    return _write_keyframe(
+        state0, eye, features_first, lm_idx0, features_first.valid,
+        features_first.sem_weight,
     )
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def run_slam_steps(
+    keys: jax.Array,
+    features: FrameFeatures,
+    cam: PinholeCamera,
+    cfg: SlamConfig,
+    state: MapState,
+    T_prev_wc: jnp.ndarray,
+):
+    """Continue SLAM over ``features`` (F frames, NO bootstrap frame) from
+    an existing map — the resumable core of :func:`run_slam`. ``keys``:
+    (F, 2) per-frame PRNG keys. Returns ((state, T_last_wc), SlamOutput
+    rows for these F frames). Chunked callers (slam.online) carry
+    (state, T) across calls; one compile serves every same-shape chunk.
+    """
 
     def step(carry, inp):
         state, T_prev_wc = carry
@@ -341,18 +346,51 @@ def run_slam(
         )
         return (state, T_wc), out
 
+    (state, T_last), (poses, n_inl, n_match, is_kf) = jax.lax.scan(
+        step, (state, T_prev_wc), (keys, features)
+    )
+    out = SlamOutput(
+        poses_wc=poses,
+        num_inliers=n_inl.astype(jnp.int32),
+        num_matches=n_match,
+        is_keyframe=is_kf,
+    )
+    return (state, T_last), out
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def run_slam(
+    key: jax.Array,
+    features: FrameFeatures,
+    cam: PinholeCamera,
+    cfg: SlamConfig = SlamConfig(),
+) -> SlamOutput:
+    """Run semantic SLAM over a sequence of per-frame features.
+
+    ``features.sem_weight`` carries per-keypoint semantic/confidence
+    residual weights (from models.segmenter / models.uncertainty); they
+    bias RANSAC voting, GN refinement, landmark creation weight, and BA
+    confidence. All-ones = classic geometry-only SLAM.
+    """
+    F = features.xy.shape[0]
+    keys = jax.random.split(key, F)
+
+    first = jax.tree.map(lambda x: x[0], features)
+    state0 = bootstrap_map(first, cam, cfg)
+
     rest = jax.tree.map(lambda x: x[1:], features)
-    init = (state0, jnp.eye(4, dtype=jnp.float32))
-    (_, _), (poses, n_inl, n_match, is_kf) = jax.lax.scan(
-        step, init, (keys[1:], rest)
+    (_, _), out = run_slam_steps(
+        keys[1:], rest, cam, cfg, state0, jnp.eye(4, dtype=jnp.float32)
     )
 
     eye_b = jnp.eye(4, dtype=jnp.float32)[None]
     return SlamOutput(
-        poses_wc=jnp.concatenate([eye_b, poses], axis=0),
+        poses_wc=jnp.concatenate([eye_b, out.poses_wc], axis=0),
         num_inliers=jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), n_inl.astype(jnp.int32)]
+            [jnp.zeros((1,), jnp.int32), out.num_inliers]
         ),
-        num_matches=jnp.concatenate([jnp.zeros((1,), n_match.dtype), n_match]),
-        is_keyframe=jnp.concatenate([jnp.ones((1,), bool), is_kf]),
+        num_matches=jnp.concatenate(
+            [jnp.zeros((1,), out.num_matches.dtype), out.num_matches]
+        ),
+        is_keyframe=jnp.concatenate([jnp.ones((1,), bool), out.is_keyframe]),
     )

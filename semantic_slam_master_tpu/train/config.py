@@ -29,6 +29,9 @@ class ModelConfig:
     backbone_depth: int = 12
     backbone_dim: int = 384
     backbone_heads: int = 6
+    # Canonical pos-embed grid (param resolution; resized to the input's
+    # patch grid at apply time, models/backbone.py).
+    backbone_pos_grid: int = 28
 
 
 @dataclass
@@ -116,6 +119,11 @@ class TrainingConfig:
     mesh_model: int = 1
     steps_per_epoch: Optional[int] = None
     seed: int = 0
+    # Unfreeze the ViT backbone. The reference always freezes its
+    # pretrained DINOv3 (`train.py:57-61`); training from scratch (e.g.
+    # on the synthetic world, where no pretrained weights exist) needs
+    # backbone gradients or the frozen random features are the ceiling.
+    train_backbone: bool = False
 
 
 @dataclass

@@ -42,6 +42,7 @@ from ..parallel import mesh as mesh_lib, tp
 from .config import Config
 
 TRAINABLE = ("selector", "refiner", "estimator")
+TRAINABLE_WITH_BACKBONE = TRAINABLE + ("backbone",)
 
 
 @flax.struct.dataclass
@@ -54,9 +55,9 @@ class TrainState:
     rng: jax.Array
 
 
-def split_params(params: Dict) -> Tuple[Dict, Dict]:
-    trainable = {k: params[k] for k in params if k in TRAINABLE}
-    frozen = {k: params[k] for k in params if k not in TRAINABLE}
+def split_params(params: Dict, keys: Tuple[str, ...] = TRAINABLE) -> Tuple[Dict, Dict]:
+    trainable = {k: params[k] for k in params if k in keys}
+    frozen = {k: params[k] for k in params if k not in keys}
     return trainable, frozen
 
 
@@ -70,6 +71,7 @@ def build_model(cfg: Config) -> LearnedFrontend:
         embed_dim=m.backbone_dim,
         depth=m.backbone_depth,
         num_heads=m.backbone_heads,
+        pos_grid=m.backbone_pos_grid,
         selector_hidden=m.selector_hidden,
         refiner_hidden=m.refiner_hidden,
         refiner_layers=m.refiner_layers,
@@ -104,7 +106,10 @@ def create_train_state(
     rng, init_rng = jax.random.split(rng)
     size = cfg.model.input_size
     variables = model.init(init_rng, jnp.zeros((1, size, size, 3)))
-    trainable, frozen = split_params(variables["params"])
+    keys = (
+        TRAINABLE_WITH_BACKBONE if cfg.training.train_backbone else TRAINABLE
+    )
+    trainable, frozen = split_params(variables["params"], keys)
     tx = build_optimizer(cfg, steps_per_epoch)
     return model, TrainState(
         step=jnp.asarray(0, jnp.int32),

@@ -6,6 +6,8 @@ import pytest
 
 from semantic_slam_master_tpu.__main__ import main
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 def test_dispatcher_help(capsys):
     assert main([]) == 0

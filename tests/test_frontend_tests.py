@@ -4,6 +4,8 @@ import pytest
 from semantic_slam_master_tpu.data import synthetic
 from semantic_slam_master_tpu.eval import frontend_tests, metrics
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def seq():

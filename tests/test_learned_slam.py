@@ -7,6 +7,8 @@ matching) or learned float descriptors (cosine matching) — dispatch on
 descriptor dtype in `slam.system.match_features`.
 """
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +17,8 @@ from semantic_slam_master_tpu.data import synthetic
 from semantic_slam_master_tpu.models import frontend as fe
 from semantic_slam_master_tpu.ops import matching
 from semantic_slam_master_tpu.slam import system, tracking
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
 
 
 def test_match_features_dispatch():

@@ -1,3 +1,5 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +8,8 @@ from semantic_slam_master_tpu.core import lie
 from semantic_slam_master_tpu.data import synthetic
 from semantic_slam_master_tpu.ops import image
 from semantic_slam_master_tpu.slam import loop_closing, system, tracking
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
 
 
 def _out_and_back_sequence(n_half=8, scale=0.5):

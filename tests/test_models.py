@@ -12,6 +12,8 @@ from semantic_slam_master_tpu.models import (
     uncertainty as uncertainty_mod,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def tiny_vit():

@@ -101,3 +101,21 @@ def test_hamming_matmul_equals_popcount(rng):
     bbits = np.unpackbits(b.view(np.uint8), axis=-1, bitorder="little").reshape(30, 256)
     ref = (abits[:, None, :] != bbits[None, :, :]).sum(-1)
     assert np.array_equal(ours.astype(np.int64), ref)
+
+
+def test_set_test_pattern_swaps_and_restores(rng):
+    """The pattern-injection hook (OpenCV `bit_pattern_31_` deployments,
+    README waiver): a different pattern changes descriptors; restoring the
+    default restores them bit-exactly."""
+    img = jnp.asarray(rng.random((1, 64, 64), dtype=np.float32))
+    xy = jnp.asarray(rng.uniform(20, 44, size=(1, 16, 2)).astype(np.float32))
+    default = orb._DEFAULT_PATTERN.copy()
+    d0 = np.asarray(orb.describe(img, xy, prefiltered=True))
+    try:
+        orb.set_test_pattern(orb.make_test_pattern(seed=99))
+        d1 = np.asarray(orb.describe(img, xy, prefiltered=True))
+    finally:
+        orb.set_test_pattern(default)
+    d2 = np.asarray(orb.describe(img, xy, prefiltered=True))
+    assert not np.array_equal(d0, d1)
+    assert np.array_equal(d0, d2)

@@ -17,6 +17,8 @@ from semantic_slam_master_tpu.data import synthetic
 from semantic_slam_master_tpu.ops import image
 from semantic_slam_master_tpu.slam import tracking
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def zoom_features():

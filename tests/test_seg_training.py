@@ -15,6 +15,8 @@ from semantic_slam_master_tpu.data import synthetic
 from semantic_slam_master_tpu.models import segmenter as seg_mod
 from semantic_slam_master_tpu.train import seg_trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def trained():

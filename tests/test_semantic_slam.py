@@ -20,6 +20,8 @@ from semantic_slam_master_tpu.models import segmenter as seg_mod
 from semantic_slam_master_tpu.ops import image
 from semantic_slam_master_tpu.slam import system, tracking
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def dynamic_scene():

@@ -1,3 +1,5 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +8,8 @@ from semantic_slam_master_tpu.data import synthetic
 from semantic_slam_master_tpu.eval import ate_rpe
 from semantic_slam_master_tpu.ops import image
 from semantic_slam_master_tpu.slam import system, tracking
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
 
 
 def _features(num_frames, scale=0.5, num_keypoints=400):

@@ -7,6 +7,8 @@ from semantic_slam_master_tpu.parallel import mesh as mesh_lib
 from semantic_slam_master_tpu.train import config as config_mod
 from semantic_slam_master_tpu.train import trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 def tiny_config(tmp_path=None):
     cfg = config_mod.Config()
@@ -169,7 +171,12 @@ logging:
 def test_estimator_receives_gradient(setup, rng):
     """Round-1 gap: the uncertainty head had zero gradient. With the
     calibration/expected-error losses in the step, its params must move."""
-    cfg, mesh, model, state, step = setup
+    cfg, mesh, model, _, step = setup
+    # The jitted step donates its input state, so the module fixture's
+    # state is consumed by whichever test runs first — build a fresh one
+    # (same shapes, so the compiled step is reused).
+    _, state = trainer.create_train_state(cfg, steps_per_epoch=4)
+    state = mesh_lib.replicate(mesh, state)
     batch = mesh_lib.shard_batch(mesh, _batch(rng))
     before = jax.device_get(state.trainable["estimator"])
     state2, out = step(state, batch)
