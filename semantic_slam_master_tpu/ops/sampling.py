@@ -71,10 +71,22 @@ def gather_patches(
     returns (B, N, 2r+1, 2r+1). Patches are clamped at borders (callers
     keep keypoints >= radius from the border via the detector margin).
 
-    On TPU the Pallas kernel in ``ops.pallas.patches`` (dynamic slices
-    from a VMEM-resident image) replaces this XLA gather on the hot path;
-    this implementation is the portable reference.
+    On TPU this dispatches to the Pallas kernel in ``ops.pallas.patches``
+    (per-keypoint async HBM->VMEM DMA copies), which avoids XLA's
+    scalarized elementwise gather; everywhere else this XLA formulation
+    is the portable reference. The Pallas path clamps centers ~1 px
+    tighter at the bottom/right border (DMA alignment padding); detector
+    margins keep real keypoints >= radius+1 from the border so outputs
+    agree on the hot path (pinned by tests/test_pallas_kernels.py).
     """
+    import jax
+
+    if jax.default_backend() == "tpu" and radius <= 15:
+        from .pallas import patches as _ppatches
+
+        k = 2 * radius + 1
+        out = _ppatches.gather_patches_pallas(img, centers, radius)
+        return out[..., :k, :k]
     B, H, W = img.shape
     k = 2 * radius + 1
     cx = jnp.clip(jnp.round(centers[..., 0]).astype(jnp.int32), radius, W - 1 - radius)

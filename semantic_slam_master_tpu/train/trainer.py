@@ -83,8 +83,10 @@ def build_model(cfg: Config) -> LearnedFrontend:
 
 def build_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     t = cfg.training
-    total_steps = max(t.epochs * steps_per_epoch, 1)
-    warmup = t.warmup_epochs * steps_per_epoch
+    total_steps = max(t.epochs * steps_per_epoch, 2)
+    # optax runs cosine decay over (decay_steps - warmup_steps); clamp the
+    # warmup so short runs (few epochs) keep a positive decay span.
+    warmup = min(t.warmup_epochs * steps_per_epoch, total_steps - 1)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0 if warmup > 0 else t.lr,
         peak_value=t.lr,
