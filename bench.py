@@ -1,52 +1,71 @@
 #!/usr/bin/env python
-"""Headline benchmark: SLAM frontend frames/sec/chip.
+"""Headline benchmark: END-TO-END SLAM frames/sec/chip.
 
-Measures the batched ORB frontend + brute-force Hamming matching pipeline
-(detect -> describe -> match, the per-frame work of the SLAM system) on
-640x480 RGB-D frames with the TUM fr2 camera, on one chip.
+Measures the full RGB-D SLAM system the north star names (BASELINE.json:
+">=10x frames/sec over the CPU pySLAM baseline on TUM fr2/desk"), in its
+production decomposition:
 
-Methodology: the pipeline step is repeated inside ONE jitted `lax.scan`
-with a loop-carried salt (so XLA cannot hoist it), and the quoted time is
-the *marginal* cost per iteration between a short and a long run — this
-cancels dispatch/tunnel/transfer overhead exactly and forces a real
-device sync by fetching the reduced scalar. (Naive block_until_ready
-timing is unreliable on tunneled backends and over-reports throughput by
->10x.)
+- frontend (batched over 8 frames): 4-level pyramid FAST detect + ORB
+  describe + depth sampling — `tracking.extract_features`;
+- backend (sequential scan over 64 frames): brute-force Hamming matching
+  against the 2048-slot landmark map, RANSAC(Kabsch)+GN PnP, keyframe
+  policy, Schur-complement window BA — `system.run_slam`.
 
-Baseline for ``vs_baseline``: the CPU pySLAM baseline the north star
-names (BASELINE.json: ">=10x frames/sec over the CPU pySLAM baseline on
-TUM fr2/desk"). pySLAM's Python+C++ frontend tracks at roughly 15 FPS on
-640x480 TUM sequences on a desktop CPU; that figure is the denominator.
-Frames are deterministic synthetic fr2-camera renders (no dataset
-download in this container); the compute is shape-identical to real
-fr2/desk frames.
+e2e ms/frame = frontend ms/frame + backend ms/frame; quoting the stage
+sum is exact for the streaming pipeline (every frame pays both stages;
+the stages are measured at their true production batch shapes — the
+65-frame monolithic program additionally hits TPU worker memory faults).
+
+Methodology: each stage is timed by MARGINAL in-jit scan repetition —
+the stage runs N times inside ONE jitted `lax.scan` with a loop-carried
+salt (so XLA cannot hoist it), and the quoted time is the best-of-3
+difference between a long and a short scan divided by the iteration
+difference. This cancels dispatch/tunnel/transfer overhead exactly and
+forces a real device sync by fetching the reduced scalar. (Naive
+block_until_ready timing does not block on tunneled backends and
+over-reports throughput by >10x; per-call re-jitting adds seconds of
+host tracing jitter — both failure modes are documented in
+utils/profiling.py.)
+
+Baseline for ``vs_baseline``: pySLAM's Python+C++ frontend tracks at
+roughly 15 FPS on 640x480 TUM sequences on a desktop CPU (the reference
+baseline the north star names). Frames are deterministic synthetic
+fr2-camera renders (no dataset download in this container); the compute
+is shape-identical to real fr2/desk frames.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N, ...}
 """
 
 import json
-import time
 
 import numpy as np
 
 PYSLAM_CPU_FPS_BASELINE = 15.0
 BATCH = 8
 NUM_KEYPOINTS = 1000
-ITERS = 40
-BASE_ITERS = 8
+F = 65  # backend frames per SLAM run (1 bootstrap + 64 tracked)
 
 
 def main():
     import jax
+
+    # Persistent compilation cache: the SLAM scan takes minutes to
+    # compile; cache hits make repeated bench runs start in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from semantic_slam_master_tpu.core.camera import TUM_FR2
     from semantic_slam_master_tpu.data import synthetic
-    from semantic_slam_master_tpu.ops import matching
-    from semantic_slam_master_tpu.slam import tracking
+    from semantic_slam_master_tpu.slam import system, tracking
+    from semantic_slam_master_tpu.utils import profiling
 
-    seq = synthetic.make_sequence(num_frames=BATCH + 1, cam=TUM_FR2)
+    seq = synthetic.make_sequence(num_frames=F, cam=TUM_FR2)
     frames = seq.frames()
     gray_np = np.stack(
         [
@@ -55,58 +74,59 @@ def main():
         ]
     ).astype(np.float32)
     depth_np = np.stack([f["depth"] for f in frames]).astype(np.float32)
+    gray = jnp.asarray(gray_np)
+    depth = jnp.asarray(depth_np)
+    cfg = system.SlamConfig()
 
-    gray_all = jnp.asarray(gray_np)  # (B+1, H, W)
-    depth_all = jnp.asarray(depth_np)
+    # ---- frontend: ms/frame at the production batch shape ----
+    def frontend(g, d):
+        f = tracking.extract_features(g, d, num_keypoints=NUM_KEYPOINTS)
+        return f.xy, f.desc, f.depth, f.valid
 
-    def step(gray_all, depth_all):
-        """One SLAM-frontend step over a batch of BATCH new frames:
-        extract features and match each frame against its predecessor's
-        features (which a running SLAM system already has — here the
-        predecessor batch is offset by one frame, so the extract is
-        counted once per new frame, like the real pipeline)."""
-        f1 = tracking.extract_features(
-            gray_all[1:], depth_all[1:], num_keypoints=NUM_KEYPOINTS
+    r_fe = profiling.marginal_time_ms(
+        frontend, (gray[:BATCH], depth[:BATCH]), iters=40, base_iters=8
+    )
+    fe_ms = r_fe["mean_ms"] / BATCH
+
+    # ---- precompute the backend's input features, in production chunks ----
+    ext = jax.jit(
+        lambda g, d: tracking.extract_features(g, d, num_keypoints=NUM_KEYPOINTS)
+    )
+    chunks = []
+    for s in range(0, F, BATCH):
+        e = min(s + BATCH, F)
+        g = gray[s:e] if e - s == BATCH else jnp.concatenate(
+            [gray[s:e], gray[: BATCH - (e - s)]]
         )
-        prev = jax.tree.map(lambda x: jnp.roll(x, 1, axis=0), f1)
-        m = matching.match_hamming(
-            prev.desc, f1.desc, prev.valid, f1.valid, max_distance=64.0
+        d = depth[s:e] if e - s == BATCH else jnp.concatenate(
+            [depth[s:e], depth[: BATCH - (e - s)]]
         )
-        return m.score
+        chunks.append(jax.tree.map(lambda x: x[: e - s], ext(g, d)))
+    feats = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
-    def timed(iters: int) -> float:
-        @jax.jit
-        def run(gray_all, depth_all):
-            def body(carry, _):
-                salted = gray_all + (carry * 1e-30)
-                s = jnp.sum(step(salted, depth_all)) * 1e-9
-                return carry + s, ()
+    # ---- backend: ms per 65-frame SLAM run ----
+    def backend(feats):
+        out = system.run_slam(jax.random.PRNGKey(0), feats, TUM_FR2, cfg)
+        return out.poses_wc, out.num_inliers
 
-            total, _ = jax.lax.scan(
-                body, jnp.float32(0), None, length=iters
-            )
-            return total
+    r_be = profiling.marginal_time_ms(backend, (feats,), iters=18, base_iters=2)
+    be_ms = r_be["mean_ms"] / F
 
-        float(run(gray_all, depth_all))  # compile + warm
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(gray_all, depth_all))  # real fetch forces device sync
-            times.append(time.perf_counter() - t0)
-        return min(times)  # best-of-3: robust to tunnel jitter
-
-    t_base = timed(BASE_ITERS)
-    t_full = timed(ITERS)
-    per_iter = (t_full - t_base) / (ITERS - BASE_ITERS)
-    # One iteration fully processes BATCH new frames (and re-extracts the
-    # previous frame's features too — a conservative 2x-work lower bound).
-    fps = BATCH / max(per_iter, 1e-9)
+    total_ms = fe_ms + be_ms
+    fps = 1000.0 / total_ms
 
     result = {
-        "metric": "frames/sec/chip (ORB frontend + Hamming match, 640x480 fr2-camera frames)",
+        "metric": (
+            "frames/sec/chip, end-to-end RGB-D SLAM (4-level pyramid ORB "
+            "frontend + Hamming map matching + RANSAC/GN PnP + keyframe "
+            "window BA), 640x480 fr2-camera frames"
+        ),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / PYSLAM_CPU_FPS_BASELINE, 2),
+        "frontend_ms_per_frame": round(fe_ms, 3),
+        "backend_ms_per_frame": round(be_ms, 3),
+        "frontend_only_fps": round(1000.0 / fe_ms, 1),
     }
     print(json.dumps(result))
 

@@ -50,15 +50,23 @@ def bilinear_sample(
 
 
 def nearest_sample(grid: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-neighbour sampling of (B, H, W[, C]) at (B, N, 2) coords."""
+    """Nearest-neighbour sampling of (B, H, W[, C]) at (B, N, 2) coords.
+
+    Single-channel grids gather along the MINOR axis of a (B, H*W)
+    view: `take_along_axis` along a non-minor axis (the (B, HW, 1) form)
+    scalarizes on TPU — measured ~32 ms for 8x1000 depth lookups on a
+    640x480 frame vs sub-ms for the minor-axis form."""
     squeeze = grid.ndim == 3
     if squeeze:
         grid = grid[..., None]
     B, H, W, C = grid.shape
     x = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, W - 1)
     y = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, H - 1)
-    flat = grid.reshape(B, H * W, C)
-    out = jnp.take_along_axis(flat, (y * W + x)[..., None], axis=1)
+    idx = y * W + x  # (B, N)
+    if C == 1:
+        out = jnp.take_along_axis(grid.reshape(B, H * W), idx, axis=-1)[..., None]
+    else:
+        out = jnp.take_along_axis(grid.reshape(B, H * W, C), idx[..., None], axis=1)
     return out[..., 0] if squeeze else out
 
 

@@ -43,15 +43,18 @@ class FrameFeatures(NamedTuple):
 def build_pyramid(
     gray: jnp.ndarray, num_levels: int, scale_factor: float = 1.2
 ) -> list:
-    """Successively-resized image pyramid (level 0 = input), shapes
-    rounded to multiples of 8 so every level hits the detector's fast
-    two-stage top-k path. Static shapes: the pyramid geometry is fixed
-    at trace time."""
+    """Successively-resized image pyramid (level 0 = input). Heights are
+    rounded to multiples of 8 (the detector's two-stage block top-k
+    needs /8); widths to multiples of 32 so every level hits the
+    matmul-structured describe path (`orb.describe` falls back to the
+    scalarized-gather path on non-32-aligned widths — measured ~2x
+    slower per level on TPU). Static shapes: the pyramid geometry is
+    fixed at trace time."""
     levels = [gray]
     B, H, W = gray.shape
     for i in range(1, num_levels):
         h = max(int(round(H / scale_factor**i / 8)) * 8, 24)
-        w = max(int(round(W / scale_factor**i / 8)) * 8, 24)
+        w = max(int(round(W / scale_factor**i / 32)) * 32, 32)
         levels.append(
             jax.image.resize(levels[-1], (B, h, w), method="bilinear")
         )

@@ -50,18 +50,17 @@ def _to_scalar(out) -> "object":
 _CALL_COUNTER = [0]
 
 
-def repeat_in_jit(fn: Callable, args: tuple, iters: int):
-    """Run ``fn(*args)`` ``iters`` times inside ONE jitted scan and return
-    a host scalar (forcing a real device sync).
+def make_repeater(fn: Callable, iters: int):
+    """Build ONE jitted callable that runs ``fn(*args)`` ``iters`` times
+    inside a single scan and returns a host scalar (forcing a real
+    device sync). The seed is a traced argument: passing a fresh value
+    per call defeats any result caching in the stack WITHOUT retracing.
 
-    This is the only reliable timing shape on remote/tunneled backends
-    where ``block_until_ready`` can return before execution finishes:
-    one dispatch, one fetch, N sequential executions in between. Every
-    invocation passes a fresh host-side seed argument so no layer of the
-    stack can serve a cached result for a repeated identical request.
-    """
+    Building the closure once matters: a fresh `jax.jit` wrapper per
+    timed call re-traces the whole graph every time (seconds for big
+    pipelines), and that host-side jitter swamps the marginal signal —
+    the failure mode that produced 3x-scattered frontend timings."""
     import jax
-    import numpy as np
 
     @jax.jit
     def run(seed, args):
@@ -72,9 +71,16 @@ def repeat_in_jit(fn: Callable, args: tuple, iters: int):
         total, _ = jax.lax.scan(body, seed * 1e-30, None, length=iters)
         return total
 
+    return run
+
+
+def repeat_in_jit(fn: Callable, args: tuple, iters: int):
+    """One-shot form of :func:`make_repeater` (compiles every call —
+    fine for correctness smoke, wrong for timing loops)."""
+    import jax
+
     _CALL_COUNTER[0] += 1
-    seed = jax.numpy.float32(_CALL_COUNTER[0])
-    return float(run(seed, args))
+    return float(make_repeater(fn, iters)(jax.numpy.float32(_CALL_COUNTER[0]), args))
 
 
 def marginal_time_ms(
@@ -84,20 +90,29 @@ def marginal_time_ms(
     two lengths and divide the best-of-3 time difference by the iteration
     difference — cancels dispatch/transfer/tunnel overhead exactly and is
     robust to round-trip jitter."""
-    # warm both executables
-    repeat_in_jit(fn, args, base_iters)
-    repeat_in_jit(fn, args, iters)
+    import jax.numpy as jnp
 
-    def best(k):
+    run_base = make_repeater(fn, base_iters)
+    run_full = make_repeater(fn, iters)
+
+    def seed():
+        _CALL_COUNTER[0] += 1
+        return jnp.float32(_CALL_COUNTER[0])
+
+    # warm both executables (compile happens here, not in the timed loop)
+    float(run_base(seed(), args))
+    float(run_full(seed(), args))
+
+    def best(run):
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            repeat_in_jit(fn, args, k)
+            float(run(seed(), args))
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t_base = best(base_iters)
-    t_full = best(iters)
+    t_base = best(run_base)
+    t_full = best(run_full)
     per_iter = (t_full - t_base) / max(iters - base_iters, 1)
     return {
         "mean_ms": max(per_iter, 0.0) * 1e3,
