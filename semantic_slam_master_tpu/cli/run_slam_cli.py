@@ -58,6 +58,61 @@ def _features_for_frames(gray_np, depth_np, num_keypoints, weight_np=None, chunk
     return feats
 
 
+def _learned_features_for_frames(
+    model, variables, rgb_np, depth_np, weight_np=None, chunk=8
+):
+    """Batched learned frontend (LearnedFrontend -> FrameFeatures) over a
+    sequence, chunked; float descriptors cosine-match in the SLAM backend
+    (slam.system.match_features dtype dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..slam import tracking
+
+    use_w = weight_np is not None
+    extract = jax.jit(
+        lambda r, d, w: tracking.extract_learned_features(
+            model, variables, r, d, weight_map=w if use_w else None
+        )
+    )
+    outs = []
+    n = len(rgb_np)
+    pad = (-n) % chunk
+    if pad:
+        rgb_np = np.concatenate([rgb_np, np.repeat(rgb_np[-1:], pad, 0)])
+        depth_np = np.concatenate([depth_np, np.repeat(depth_np[-1:], pad, 0)])
+        if use_w:
+            weight_np = np.concatenate([weight_np, np.repeat(weight_np[-1:], pad, 0)])
+    for i in range(0, len(rgb_np), chunk):
+        w = jnp.asarray(weight_np[i : i + chunk]) if use_w else jnp.ones((1,))
+        outs.append(
+            jax.device_get(
+                extract(
+                    jnp.asarray(rgb_np[i : i + chunk]),
+                    jnp.asarray(depth_np[i : i + chunk]),
+                    w,
+                )
+            )
+        )
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0)[:n], *outs)
+
+
+def _load_learned_frontend(args):
+    """Build the LearnedFrontend + restored variables for --frontend
+    learned (mirrors run_tests_cli's adapter construction)."""
+    from ..train import config as config_mod, trainer
+
+    cfg = config_mod.load_config(args.train_config)
+    model, state = trainer.create_train_state(cfg, steps_per_epoch=1)
+    if args.checkpoint:
+        state, _ = trainer.restore_checkpoint(args.checkpoint, state)
+    variables = {
+        "params": trainer.merge_params(state.trainable, state.frozen),
+        "batch_stats": state.batch_stats,
+    }
+    return model, variables
+
+
 def _semantic_weight_maps(rgb_np, labels_np, args):
     """Per-pixel BA residual weights from semantics.
 
@@ -112,7 +167,7 @@ def run_sequence(seq, out_path: Path, args) -> dict:
     from ..slam import system, tracking
 
     n = seq.num_frames() if hasattr(seq, "num_frames") else len(seq)
-    want_rgb = args.semantics == "model"
+    want_rgb = args.semantics == "model" or args.frontend == "learned"
     t0 = time.perf_counter()
     rgb_np = labels_np = None
     if hasattr(seq, "load_all_gray_depth") and not want_rgb:
@@ -137,9 +192,15 @@ def run_sequence(seq, out_path: Path, args) -> dict:
     weight_np = _semantic_weight_maps(rgb_np, labels_np, args)
 
     t0 = time.perf_counter()
-    feats_np = _features_for_frames(
-        gray_np, depth_np, args.num_keypoints, weight_np
-    )
+    if args.frontend == "learned":
+        model, variables = _load_learned_frontend(args)
+        feats_np = _learned_features_for_frames(
+            model, variables, rgb_np, depth_np, weight_np
+        )
+    else:
+        feats_np = _features_for_frames(
+            gray_np, depth_np, args.num_keypoints, weight_np
+        )
     feats = tracking.FrameFeatures(*[jnp.asarray(x) for x in feats_np])
     cfg = system.SlamConfig(
         num_landmarks=args.num_landmarks,
@@ -203,6 +264,15 @@ def main(argv=None):
                         help="orbax checkpoint dir for --semantics model")
     parser.add_argument("--output-dir", default="experiments/trajectories")
     parser.add_argument("--num-keypoints", type=int, default=512)
+    parser.add_argument("--frontend", choices=("orb", "learned"), default="orb",
+                        help="classic ORB (Hamming) or a trained "
+                             "LearnedFrontend (cosine) driving the same "
+                             "SLAM backend")
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax checkpoint for --frontend learned")
+    parser.add_argument("--train-config", default=None,
+                        help="training YAML the checkpoint was produced "
+                             "with (model dims must match)")
     parser.add_argument("--num-landmarks", type=int, default=2048)
     parser.add_argument("--window-size", type=int, default=5)
     parser.add_argument("--ba-iters", type=int, default=4)

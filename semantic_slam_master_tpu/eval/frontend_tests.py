@@ -104,16 +104,29 @@ def orb_adapter(
 
 
 def learned_adapter(
-    model, variables, ratio: float = 0.9, min_similarity: float | None = None
+    model, variables, ratio: float = 0.9, min_similarity: float | None = None,
+    normalized: bool = False,
 ) -> FrontendAdapter:
     """A trained LearnedFrontend as an adapter (cosine matching with the
-    reference's mutual-NN + ratio semantics)."""
+    reference's mutual-NN + ratio semantics).
+
+    ``normalized``: set when inputs are already ImageNet-normalized;
+    otherwise raw [0, 1] RGB is normalized here — the model is trained
+    on normalized input (`tum_dataset.py:88-95` semantics) and feeding
+    it raw RGB silently zeroes every acceptance metric."""
     import jax
     import jax.numpy as jnp
 
     from ..ops import matching
 
-    apply = jax.jit(lambda v, x: model.apply(v, x))
+    def _norm(x):
+        if normalized:
+            return x
+        mean = jnp.asarray([0.485, 0.456, 0.406], x.dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], x.dtype)
+        return (x - mean) / std
+
+    apply = jax.jit(lambda v, x: model.apply(v, _norm(x)))
 
     def extract(rgb: np.ndarray) -> Dict[str, np.ndarray]:
         out = apply(variables, jnp.asarray(rgb))
@@ -142,7 +155,7 @@ def learned_adapter(
         from ..models.frontend import LearnedFrontend
         from ..models.selector import select_keypoints
 
-        imgs = jnp.asarray(rgb)
+        imgs = _norm(jnp.asarray(rgb))
         feats, sal = model.apply(
             variables, imgs, method=LearnedFrontend.features_and_saliency
         )

@@ -19,7 +19,7 @@ from ..ops.sampling import bilinear_sample
 from . import backbone as backbone_mod
 from .backbone import ViTBackbone, patch_to_pixel
 from .refiner import DescriptorRefiner
-from .selector import KeypointSelector, select_keypoints
+from .selector import KeypointSelector, refine_keypoints, select_keypoints
 from .uncertainty import UncertaintyEstimator
 
 
@@ -52,6 +52,13 @@ class LearnedFrontend(nn.Module):
     estimator_hidden: int = 128
     num_keypoints: int = 500
     nms_radius: int = 2
+    # Soft-argmax sub-patch keypoint positions (selector.refine_keypoints).
+    # Off by default: a model trained WITHOUT it has no gradient pressure
+    # to make saliency centroids localize, and enabling it post-hoc
+    # measurably hurts (repeatability@1 0.96 -> 0.71 on the tiny synthetic
+    # checkpoint). Train with it on (`model.subpatch_refine: true`) to let
+    # the loss shape saliency into a localizer.
+    subpatch_refine: bool = False
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -95,10 +102,15 @@ class LearnedFrontend(nn.Module):
         kp = select_keypoints(
             saliency, num_keypoints=self.num_keypoints, nms_radius=self.nms_radius
         )
-        _, desc, conf = self.describe_at(feats, kp.xy)
+        xy = (
+            refine_keypoints(saliency, kp.xy)
+            if self.subpatch_refine
+            else kp.xy
+        )
+        _, desc, conf = self.describe_at(feats, xy)
         return FrontendOutput(
-            keypoints_px=patch_to_pixel(kp.xy, self.patch_size),
-            keypoints_patch=kp.xy,
+            keypoints_px=patch_to_pixel(xy, self.patch_size),
+            keypoints_patch=xy,
             descriptors=desc,
             scores=kp.score,
             confidence=conf,

@@ -131,3 +131,48 @@ def select_keypoints(
     return SelectedKeypoints(
         xy=jnp.stack([xs, ys], axis=-1), score=scores, valid=valid
     )
+
+
+def refine_keypoints(
+    saliency: jnp.ndarray,
+    xy: jnp.ndarray,
+    temperature: float = 0.05,
+) -> jnp.ndarray:
+    """Sub-patch keypoint refinement: soft-argmax of the 3x3 saliency
+    neighborhood around each selected patch.
+
+    The reference pins keypoints to patch centers (`patch_to_pixel`,
+    `dino_backbone.py:154-165`), which caps repeatability at the 16 px
+    patch pitch: any inter-frame motion beyond ~3 px moves the true
+    corner away from the center the selector re-picks. The saliency map
+    knows better — a corner between two patches elevates both — so the
+    local softmax centroid recovers a continuous position. Offsets stay
+    within (-1, 1) patches; descriptors are already bilinearly sampled
+    (`LearnedFrontend.describe_at`) so fractional coords need no other
+    change. Differentiable; safe to enable at inference on checkpoints
+    trained without it.
+
+    saliency: (B, H, W[, 1]); xy: (B, K, 2) patch coords -> refined
+    (B, K, 2) float patch coords.
+    """
+    from ..ops.sampling import nearest_sample
+
+    if saliency.ndim == 4:
+        saliency = saliency[..., 0]
+    B, H, W = saliency.shape
+    neigh = []
+    offs = []
+    for dy in (-1.0, 0.0, 1.0):
+        for dx in (-1.0, 0.0, 1.0):
+            d = jnp.asarray([dx, dy], xy.dtype)
+            neigh.append(nearest_sample(saliency, xy + d))  # (B, K)
+            offs.append(d)
+    s = jnp.stack(neigh, axis=-1)  # (B, K, 9)
+    o = jnp.stack(offs, axis=0)  # (9, 2)
+    w = jax.nn.softmax(s / temperature, axis=-1)
+    offset = jnp.einsum("bkn,nd->bkd", w, o)
+    # Border patches see clamped (duplicated) neighbors; keep the result
+    # inside the grid.
+    refined = xy + offset
+    lim = jnp.asarray([W - 1.0, H - 1.0], xy.dtype)
+    return jnp.clip(refined, 0.0, lim)

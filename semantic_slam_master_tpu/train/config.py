@@ -32,6 +32,9 @@ class ModelConfig:
     # Canonical pos-embed grid (param resolution; resized to the input's
     # patch grid at apply time, models/backbone.py).
     backbone_pos_grid: int = 28
+    # Sub-patch soft-argmax keypoint refinement (selector.refine_keypoints);
+    # train with it on so saliency learns to localize.
+    subpatch_refine: bool = False
 
 
 @dataclass

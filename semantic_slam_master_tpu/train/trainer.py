@@ -36,7 +36,7 @@ import optax
 from ..losses import self_supervised as losses
 from ..models import uncertainty
 from ..models.frontend import LearnedFrontend
-from ..models.selector import select_keypoints
+from ..models.selector import refine_keypoints, select_keypoints
 from ..ops import matching
 from ..parallel import mesh as mesh_lib, tp
 from .config import Config
@@ -78,6 +78,7 @@ def build_model(cfg: Config) -> LearnedFrontend:
         descriptor_dim=m.descriptor_dim,
         estimator_hidden=m.estimator_hidden,
         num_keypoints=m.num_keypoints,
+        subpatch_refine=m.subpatch_refine,
     )
 
 
@@ -147,12 +148,18 @@ def _forward_pair(model: LearnedFrontend, variables, rgb1, rgb2, cfg: Config):
 
     kp1 = select_keypoints(sal1, cfg.model.num_keypoints)
     kp2 = select_keypoints(sal2, cfg.model.num_keypoints)
+    xy1, xy2 = kp1.xy, kp2.xy
+    if cfg.model.subpatch_refine:
+        # Differentiable: descriptor gradients flow into the saliency
+        # neighborhood through the soft-argmax, teaching it to localize.
+        xy1 = refine_keypoints(sal1, xy1)
+        xy2 = refine_keypoints(sal2, xy2)
 
     _, desc1, conf1 = model.apply(
-        vars3, feats1, kp1.xy, method=LearnedFrontend.describe_at
+        vars3, feats1, xy1, method=LearnedFrontend.describe_at
     )
     _, desc2, _ = model.apply(
-        vars3, feats2, kp2.xy, method=LearnedFrontend.describe_at
+        vars3, feats2, xy2, method=LearnedFrontend.describe_at
     )
 
     m = matching.match_cosine(desc1, desc2, kp1.valid, kp2.valid, ratio=None)

@@ -166,3 +166,23 @@ def test_frontend_jit():
     f = jax.jit(lambda v, x: model.apply(v, x))
     out = f(variables, imgs)
     assert out.descriptors.shape == (1, 64, 32)
+
+
+def test_refine_keypoints_moves_toward_offset_peak():
+    """A saliency ridge between two patches pulls the soft-argmax toward
+    the neighbor; an isolated peak stays put; borders stay in-grid."""
+    from semantic_slam_master_tpu.models.selector import refine_keypoints
+
+    H = W = 8
+    sal = np.full((1, H, W), 0.1, np.float32)
+    # isolated peak at (2, 2)
+    sal[0, 2, 2] = 0.9
+    # split peak: (5, 5) strong, (5, 6) nearly as strong -> pulls +x
+    sal[0, 5, 5] = 0.9
+    sal[0, 5, 6] = 0.8
+    xy = jnp.asarray([[[2.0, 2.0], [5.0, 5.0], [0.0, 0.0]]])
+    ref = np.asarray(refine_keypoints(jnp.asarray(sal), xy))
+    assert np.allclose(ref[0, 0], [2.0, 2.0], atol=0.05)  # isolated: stays
+    assert ref[0, 1, 0] > 5.05 and ref[0, 1, 0] < 6.0  # pulled toward x=6
+    assert abs(ref[0, 1, 1] - 5.0) < 0.05  # not in y
+    assert ref[0, 2, 0] >= 0.0 and ref[0, 2, 1] >= 0.0  # border clamped
