@@ -1,21 +1,27 @@
-"""Pallas kernel: keypoint patch extraction.
+"""Pallas kernel: keypoint patch extraction — a RECORDED NEGATIVE RESULT.
 
 The ORB descriptor needs a 31x31 intensity patch around every keypoint
 (`ops/orb.py`). XLA lowers the natural formulation — an elementwise
 gather of B x N x 961 pixels — to a scalarized gather that dominates the
 whole frontend (~65 ms for 8x1000 keypoints on a v5e core, >60% of the
-pipeline). The Pallas version keeps the frame resident in VMEM and cuts
-each patch out with per-keypoint async DMA copies (DMA engines allow the
-arbitrary offsets that vector loads do not), with keypoint coordinates
-delivered through scalar prefetch (SMEM) so offsets are known before the
-body runs.
+pipeline). This kernel was the first attempt at fixing that: keep the
+frame in HBM and cut each patch out with per-keypoint async DMA copies,
+with keypoint coordinates delivered through scalar prefetch (SMEM) so
+offsets are known before the body runs.
 
-Constraints shape the design:
-- DMA slice sizes must be 8-aligned in the sublane dim -> patches are
-  copied as 32x32 (PATCH_PAD); consumers index only the 31x31 prefix.
-- Grid: (B, N / G) with G copies in flight per step; the image block's
-  index map ignores the keypoint axis, so Mosaic keeps the frame in VMEM
-  across all steps of a batch row.
+**Why it is not the production path.** It passes interpret-mode parity
+tests, but Mosaic rejects it on real TPU hardware: DMA slice *starts*
+(not just sizes) must be 8-aligned in the sublane dimension and
+128-aligned in the lane dimension ("Failed to prove that a tile index
+in dimension 1 is divisible by the tiling (8)"), and keypoint
+coordinates are arbitrary pixels. Honoring the alignment means copying
+a 40x160 superset per 31x31 patch (~10x traffic) plus an in-kernel
+dynamic shift. Meanwhile the dense-moment-map + steered-matmul
+formulation in `ops/orb.py` removed the per-keypoint gather from the
+hot path entirely and is faster than this kernel could be even with
+perfect DMA. Kept (with its tests) as documentation of the approach and
+of the Mosaic constraint; `ops.sampling.gather_patches` is the portable
+production fallback.
 """
 
 from __future__ import annotations

@@ -79,22 +79,17 @@ def gather_patches(
     returns (B, N, 2r+1, 2r+1). Patches are clamped at borders (callers
     keep keypoints >= radius from the border via the detector margin).
 
-    On TPU this dispatches to the Pallas kernel in ``ops.pallas.patches``
-    (per-keypoint async HBM->VMEM DMA copies), which avoids XLA's
-    scalarized elementwise gather; everywhere else this XLA formulation
-    is the portable reference. The Pallas path clamps centers ~1 px
-    tighter at the bottom/right border (DMA alignment padding); detector
-    margins keep real keypoints >= radius+1 from the border so outputs
-    agree on the hot path (pinned by tests/test_pallas_kernels.py).
+    This XLA formulation is the production path on every backend. A
+    Pallas per-keypoint-DMA alternative exists in ``ops.pallas.patches``
+    but is a RECORDED NEGATIVE RESULT on real TPUs: Mosaic requires DMA
+    slice starts to be 8-aligned in the sublane dim and 128-aligned in
+    the lane dim ("Failed to prove that a tile index ... is divisible by
+    the tiling"), and keypoint coordinates are arbitrary — honoring the
+    alignment means over-copying ~10x per patch, at which point the
+    dense-moment-map + matmul formulation in ``ops.orb`` (which removed
+    this gather from the hot path entirely) is strictly better. The
+    kernel stays as interpret-mode documentation of the approach.
     """
-    import jax
-
-    if jax.default_backend() == "tpu" and radius <= 15:
-        from .pallas import patches as _ppatches
-
-        k = 2 * radius + 1
-        out = _ppatches.gather_patches_pallas(img, centers, radius)
-        return out[..., :k, :k]
     B, H, W = img.shape
     k = 2 * radius + 1
     cx = jnp.clip(jnp.round(centers[..., 0]).astype(jnp.int32), radius, W - 1 - radius)
