@@ -138,32 +138,59 @@ def detect(
     """
     B, H, W = gray.shape
     score = fast_score(gray, threshold)
+    # Deterministic sub-ulp-scale dither breaks exact score ties BEFORE
+    # NMS, making local maxima strictly unique: plateaus of equal scores
+    # would otherwise all survive `s >= pooled` and violate the
+    # one-survivor-per-block invariant the selection below relies on.
+    # The perturbation (<= ~3e-4 absolute on O(1) scores) is far below
+    # any meaningful corner-strength difference.
+    iota = (
+        jnp.arange(H * W, dtype=jnp.float32).reshape(1, H, W) * np.float32(1e-9)
+    )
+    score = jnp.where(score > 0.0, score + iota, 0.0)
     # NMS: keep strict local maxima of the score map.
     pooled = max_pool_same(score, nms_radius)
     score = jnp.where(score >= pooled, score, 0.0)
     mask = (score > 0.0) & _border_mask(H, W, max(margin, BORDER_MARGIN))[None]
     masked = jnp.where(mask, score.reshape(B, H, W), 0.0)
 
-    if H % 8 == 0 and W % 8 == 0 and nms_radius >= 3:
-        # Two-stage top-k: NMS radius >= 3 enforces >= 4 px spacing between
-        # (non-tied) survivors, so an 8x8 block holds at most 4 of them —
-        # keep the top 4 per block, then a global top-k over 16x fewer
-        # candidates (a full top-k over H*W was ~6 ms of the frontend;
-        # ties on synthetic plateaus may exceed 4/block and lose duplicate
-        # corners, which is harmless for matching).
-        per_block = 4
-        blocks = (
-            masked.reshape(B, H // 8, 8, W // 8, 8)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(B, (H // 8) * (W // 8), 64)
-        )
-        bvals, bidx = jax.lax.top_k(blocks, per_block)  # (B, nb, 4)
-        nb = blocks.shape[1]
-        block_ids = jnp.arange(nb)
-        by = (block_ids // (W // 8))[None, :, None] * 8 + bidx // 8
-        bx = (block_ids % (W // 8))[None, :, None] * 8 + bidx % 8
-        cand_idx = (by * W + bx).reshape(B, nb * per_block)
-        cand_val = bvals.reshape(B, nb * per_block)
+    if H % 4 == 0 and W % 4 == 0 and nms_radius >= 3:
+        # MXU block reduction: NMS radius >= 3 forces survivors >= 4 px
+        # apart (ties are dithered away), so every 4x4 block holds AT
+        # MOST ONE survivor — block "reduction" is therefore a SUM, and
+        # block sums are two one-hot matmuls that ride the MXU. The
+        # survivor's exact coordinates come from two more weighted block
+        # sums (sum(v*x)/sum(v) with a single nonzero = its position).
+        # This replaces per-block lax.top_k / iterative argmax, both of
+        # which are cross-lane reduction sweeps measured at ~1.6 ms per
+        # 8-frame 640x480 batch — more than the whole segment test.
+        Sy = (
+            (jnp.arange(H // 4)[:, None] * 4 + jnp.arange(4)[None, :])
+        )  # (H/4, 4) row indices per block row
+        Py = jnp.zeros((H // 4, H), jnp.float32).at[
+            jnp.repeat(jnp.arange(H // 4), 4), Sy.reshape(-1)
+        ].set(1.0)
+        Px = jnp.zeros((W, W // 4), jnp.float32).at[
+            (jnp.arange(W // 4)[:, None] * 4 + jnp.arange(4)[None, :]).reshape(-1),
+            jnp.repeat(jnp.arange(W // 4), 4),
+        ].set(1.0)
+        xs_w = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        ys_w = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+
+        def block_sum(m):
+            return jnp.einsum(
+                "hH,bHW,Ww->bhw", Py, m, Px, preferred_element_type=jnp.float32
+            )
+
+        val = block_sum(masked)  # (B, H/4, W/4)
+        sx = block_sum(masked * xs_w)
+        sy = block_sum(masked * ys_w)
+        safe = jnp.maximum(val, 1e-20)
+        bx = jnp.round(sx / safe).astype(jnp.int32)
+        by = jnp.round(sy / safe).astype(jnp.int32)
+        nb = (H // 4) * (W // 4)
+        cand_val = val.reshape(B, nb)
+        cand_idx = jnp.clip(by * W + bx, 0, H * W - 1).reshape(B, nb)
         values, sel, valid = masked_topk(cand_val, cand_val > 0.0, num_keypoints)
         indices = jnp.take_along_axis(cand_idx, sel, axis=-1)
     else:

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..core import lie
 from ..core.camera import PinholeCamera, project
-from .pnp import _projection_jacobians, huber_weights
+from .pnp import huber_weights
 
 
 class BAProblem(NamedTuple):
@@ -172,48 +172,145 @@ def bundle_adjust(
         )
         cost = _robust_cost(r, w)
 
-        J_proj, _ = _projection_jacobians(p_cam.reshape(K * M, 3), cam)
-        J_proj = J_proj.reshape(K, M, 2, 3)
-        # Third residual row: d(w_d * z)/d(p_cam) = [0, 0, w_d].
-        zrow = jnp.zeros((K, M, 1, 3), dtype=J_proj.dtype).at[..., 0, 2].set(
-            depth_scale
-        )
-        J_proj3 = jnp.concatenate([J_proj, zrow], axis=-2)  # (K, M, 3, 3)
-        # Pose Jacobian via dp/dxi = [I | -hat(p_cam)].
-        I3 = jnp.broadcast_to(eye3, (K, M, 3, 3))
-        Jp = jnp.concatenate([I3, -lie.hat(p_cam)], axis=-1)  # (K, M, 3, 6)
-        A = J_proj3 @ Jp  # (K, M, 3, 6)
+        # ---- Jacobian blocks in M-MINOR layout --------------------------
+        # The natural einsum formulation ("kmij,kmil->kjl" etc.) makes XLA
+        # run tens of thousands of 3x6-sized dot-generals — the batched-
+        # tiny-matmul trap; it was 1.2 ms of the 1.5 ms LM iteration at
+        # (K=5, M=2048). Here every small index (i, j, l <= 6) is a
+        # Python-level unroll over (K, M) planes (fused VPU arithmetic)
+        # and every M-reduction is reshaped into a real MXU matmul with M
+        # as the contraction dimension.
+        x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]  # (K, M)
+        z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        iz = 1.0 / z_safe
+        iz2 = iz * iz
+        zero = jnp.zeros_like(x)
+        # J3 (3 residual rows x 3 point coords), rows: u, v, depth.
+        J3 = [
+            [cam.fx * iz, zero, -cam.fx * x * iz2],
+            [zero, cam.fy * iz, -cam.fy * y * iz2],
+            [zero, zero, depth_scale],
+        ]
+        # A[i][j] = (J3 @ [I | -hat(p)])[i, j]  -> 3 x 6 planes of (K, M).
+        # (J3row @ hat(p)) with hat=[[0,-z,y],[z,0,-x],[-y,x,0]]:
+        #   col0 = j1*z - j2*y, col1 = -j0*z + j2*x, col2 = j0*y - j1*x.
+        A = [
+            [
+                J3[i][0],
+                J3[i][1],
+                J3[i][2],
+                -(J3[i][1] * z - J3[i][2] * y),
+                -(-J3[i][0] * z + J3[i][2] * x),
+                -(J3[i][0] * y - J3[i][1] * x),
+            ]
+            for i in range(3)
+        ]
+        # B[i][l] = (J3 @ R_k)[i, l] — R varies only over k: broadcast
+        # R entries as (K, 1) against (K, M) planes.
         Rs = poses[:, :3, :3]  # (K, 3, 3)
-        B = jnp.einsum("kmij,kjl->kmil", J_proj3, Rs)  # (K, M, 3, 3)
+        Rkjl = [[Rs[:, j, l][:, None] for l in range(3)] for j in range(3)]
+        B = [
+            [
+                sum(J3[i][j] * Rkjl[j][l] for j in range(3))
+                for l in range(3)
+            ]
+            for i in range(3)
+        ]
 
-        # Weighted blocks.
-        Aw = A * w[..., None, None]
-        Bw = B * w[..., None, None]
-        U = jnp.einsum("kmij,kmil->kjl", Aw, A)  # (K, 6, 6)
-        V = jnp.einsum("kmij,kmil->mjl", Bw, B)  # (M, 3, 3)
-        Wb = jnp.einsum("kmij,kmil->kmjl", Aw, B)  # (K, M, 6, 3)
-        g_c = -jnp.einsum("kmij,kmi->kj", Aw, r)  # (K, 6)
-        g_p = -jnp.einsum("kmij,kmi->mj", Bw, r)  # (M, 3)
+        # Weighted planes; residual rows as (K, M) planes.
+        Aw = [[w * A[i][j] for j in range(6)] for i in range(3)]
+        Bw = [[w * B[i][l] for l in range(3)] for i in range(3)]
+        rr = [r[..., 0], r[..., 1], r[..., 2]]  # (K, M) each
+
+        # U[k] = sum_m w A^T A — stack to (K, 3*6, M) and contract (i, m)
+        # as a real (6, 3M) x (3M, 6) MXU matmul per k.
+        A_t = jnp.stack(
+            [jnp.stack(Ai, 0) for Ai in A], 0
+        ).transpose(2, 0, 1, 3)  # (K, 3, 6, M)
+        Aw_t = A_t * w[:, None, None, :]
+        U = jnp.einsum(
+            "kijm,kilm->kjl", Aw_t, A_t, preferred_element_type=poses.dtype
+        )
+        # g_c[k, j] = -sum_{i,m} w A[i,j] r[i]: 3-term plane unroll + row
+        # reduction over m.
+        g_c = -jnp.stack(
+            [
+                sum(jnp.sum(Aw[i][j] * rr[i], axis=-1) for i in range(3))
+                for j in range(6)
+            ],
+            axis=-1,
+        )  # (K, 6)
+        # V[m] (3, 3 planes of (M,)) and g_p[m] — 15-term unrolled
+        # reductions over (k, i): pure fused VPU arithmetic, no batched
+        # tiny dots.
+        Vp = [
+            [
+                sum(jnp.sum(Bw[i][j] * B[i][l], axis=0) for i in range(3))
+                for l in range(3)
+            ]
+            for j in range(3)
+        ]
+        g_pp = [
+            -sum(jnp.sum(Bw[i][j] * rr[i], axis=0) for i in range(3))
+            for j in range(3)
+        ]  # 3 x (M,)
 
         # Damping + gauge prior on camera 0 (additive so it stays strong
         # even at tiny lambda).
         lam_c = lam + gauge_prior * (jnp.arange(K) == 0).astype(poses.dtype)
         U = U + lam_c[:, None, None] * eye6
-        V = V + (lam + point_prior) * eye3
+        damp = lam + point_prior
+        V = jnp.stack(
+            [jnp.stack(Vj, -1) for Vj in Vp], -2
+        )  # (M, 3, 3)
+        V = V + damp * eye3
 
         V_inv = inv3x3(V)  # (M, 3, 3) closed-form batched inverse
-        WVi = jnp.einsum("kmjl,mlp->kmjp", Wb, V_inv)  # (K, M, 6, 3)
+        Vi = [[V_inv[:, j, l] for l in range(3)] for j in range(3)]  # (M,)
 
-        # Reduced camera system S (K, K, 6, 6), rhs (K, 6).
-        S = -jnp.einsum("amjp,bmlp->abjl", WVi, Wb)
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
-        rhs = g_c - jnp.einsum("kmjp,mp->kj", WVi, g_p)
+        # Wb[k][j][l] = sum_i w A[i,j] B[i,l] — 3-term plane unroll.
+        Wbp = [
+            [sum(Aw[i][j] * B[i][l] for i in range(3)) for l in range(3)]
+            for j in range(6)
+        ]  # 6 x 3 planes of (K, M)
+        # WVi[k][j][p] = sum_l Wb[j][l] V_inv[l][p] ((M,) broadcasts over K).
+        WVip = [
+            [
+                sum(Wbp[j][l] * Vi[l][p][None, :] for l in range(3))
+                for p in range(3)
+            ]
+            for j in range(6)
+        ]
 
-        S_flat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        # Reduced camera system: ONE (6K, 3M) x (3M, 6K) MXU matmul.
+        X = jnp.stack(
+            [jnp.stack(WVip[j], 1) for j in range(6)], 1
+        )  # (K, 6, 3, M)
+        Y = jnp.stack(
+            [jnp.stack(Wbp[j], 1) for j in range(6)], 1
+        )  # (K, 6, 3, M)
+        S2 = -(X.reshape(K * 6, 3 * M) @ Y.reshape(K * 6, 3 * M).T)
+        S2 = S2.reshape(K, 6, K, 6).at[jnp.arange(K), :, jnp.arange(K), :].add(U)
+        rhs = g_c - jnp.stack(
+            [
+                sum(jnp.sum(WVip[j][p] * g_pp[p][None, :], axis=-1) for p in range(3))
+                for j in range(6)
+            ],
+            axis=-1,
+        )  # (K, 6)
+
+        S_flat = S2.reshape(6 * K, 6 * K)
         delta_c = jnp.linalg.solve(S_flat, rhs.reshape(6 * K)).reshape(K, 6)
-        delta_p = jnp.einsum(
-            "mjl,ml->mj", V_inv, g_p - jnp.einsum("kmjl,kj->ml", Wb, delta_c)
-        )
+        # Back-substitute points: t[l] = g_p[l] - sum_{k,j} Wb[j][l] dc[k,j].
+        dc = [delta_c[:, j, None] for j in range(6)]
+        tl = [
+            g_pp[l] - sum(jnp.sum(Wbp[j][l] * dc[j], axis=0) for j in range(6))
+            for l in range(3)
+        ]  # 3 x (M,)
+        delta_p = jnp.stack(
+            [sum(Vi[j][l] * tl[l] for l in range(3)) for j in range(3)],
+            axis=-1,
+        )  # (M, 3)
 
         finite = jnp.all(jnp.isfinite(delta_c)) & jnp.all(jnp.isfinite(delta_p))
         delta_c = jnp.where(finite, delta_c, 0.0)

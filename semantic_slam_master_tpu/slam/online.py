@@ -81,6 +81,7 @@ def run_slam_online(
     first = jax.tree.map(lambda x: x[0], features)
     state = system.bootstrap_map(first, cam, cfg)
     T_prev = jnp.eye(4, dtype=jnp.float32)
+    since_kf = jnp.asarray(0, jnp.int32)  # bootstrap frame is a keyframe
 
     poses = [np.eye(4, dtype=np.float64)]
     n_inl = [0]
@@ -112,8 +113,8 @@ def run_slam_online(
                                        chunk_keys.dtype)],
                 axis=0,
             )
-        (state, T_prev), out = system.run_slam_steps(
-            chunk_keys, chunk, cam, cfg, state, T_prev
+        (state, T_prev, since_kf), out = system.run_slam_steps(
+            chunk_keys, chunk, cam, cfg, state, T_prev, since_kf
         )
         out = jax.tree.map(lambda x: np.asarray(x)[:n], out)
         poses.extend(np.asarray(out.poses_wc, np.float64))

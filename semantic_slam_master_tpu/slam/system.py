@@ -70,6 +70,10 @@ class SlamConfig(NamedTuple):
     num_hypotheses: int = 64
     min_inliers: int = 15
     keyframe_min_inlier_ratio: float = 0.4  # new KF when below
+    # Minimum frames between keyframes (ORB-SLAM inserts sparingly; the
+    # support-ratio trigger alone fires on runs of borderline frames and
+    # each keyframe pays window BA — the backend's dominant cost).
+    keyframe_min_gap: int = 4
     match_max_distance: float = 64.0  # Hamming gate (packed ORB descriptors)
     match_min_cosine: float = 0.6  # cosine gate (learned float descriptors)
     ba_iters: int = 4
@@ -269,16 +273,21 @@ def run_slam_steps(
     cfg: SlamConfig,
     state: MapState,
     T_prev_wc: jnp.ndarray,
+    since_kf: jnp.ndarray | None = None,
 ):
     """Continue SLAM over ``features`` (F frames, NO bootstrap frame) from
     an existing map — the resumable core of :func:`run_slam`. ``keys``:
-    (F, 2) per-frame PRNG keys. Returns ((state, T_last_wc), SlamOutput
-    rows for these F frames). Chunked callers (slam.online) carry
-    (state, T) across calls; one compile serves every same-shape chunk.
+    (F, 2) per-frame PRNG keys. ``since_kf``: frames since the last
+    keyframe (gates the keyframe_min_gap policy; defaults to "allowed").
+    Returns ((state, T_last_wc, since_kf), SlamOutput rows for these F
+    frames). Chunked callers (slam.online) carry (state, T, since)
+    across calls; one compile serves every same-shape chunk.
     """
+    if since_kf is None:
+        since_kf = jnp.asarray(cfg.keyframe_min_gap, jnp.int32)
 
     def step(carry, inp):
-        state, T_prev_wc = carry
+        state, T_prev_wc, since = carry
         k, feats = inp
 
         # --- data association: frame keypoints vs landmark descriptors ---
@@ -312,7 +321,11 @@ def run_slam_steps(
         # --- keyframe policy: support ratio below threshold ---
         n_valid = jnp.maximum(jnp.sum(feats.valid), 1)
         inlier_ratio = result.num_inliers / n_valid
-        need_kf = ok & (inlier_ratio < cfg.keyframe_min_inlier_ratio)
+        need_kf = (
+            ok
+            & (inlier_ratio < cfg.keyframe_min_inlier_ratio)
+            & (since >= cfg.keyframe_min_gap)
+        )
 
         def make_keyframe(state):
             inl = result.inlier_mask
@@ -344,10 +357,11 @@ def run_slam_steps(
             m.count(),
             need_kf,
         )
-        return (state, T_wc), out
+        since = jnp.where(need_kf, 0, since + 1)
+        return (state, T_wc, since), out
 
-    (state, T_last), (poses, n_inl, n_match, is_kf) = jax.lax.scan(
-        step, (state, T_prev_wc), (keys, features)
+    (state, T_last, since_kf), (poses, n_inl, n_match, is_kf) = jax.lax.scan(
+        step, (state, T_prev_wc, since_kf), (keys, features)
     )
     out = SlamOutput(
         poses_wc=poses,
@@ -355,7 +369,7 @@ def run_slam_steps(
         num_matches=n_match,
         is_keyframe=is_kf,
     )
-    return (state, T_last), out
+    return (state, T_last, since_kf), out
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -379,8 +393,10 @@ def run_slam(
     state0 = bootstrap_map(first, cam, cfg)
 
     rest = jax.tree.map(lambda x: x[1:], features)
-    (_, _), out = run_slam_steps(
-        keys[1:], rest, cam, cfg, state0, jnp.eye(4, dtype=jnp.float32)
+    # Bootstrap frame IS a keyframe -> the gap counter starts at zero.
+    (_, _, _), out = run_slam_steps(
+        keys[1:], rest, cam, cfg, state0, jnp.eye(4, dtype=jnp.float32),
+        jnp.asarray(0, jnp.int32),
     )
 
     eye_b = jnp.eye(4, dtype=jnp.float32)[None]
