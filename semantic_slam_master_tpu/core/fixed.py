@@ -91,3 +91,38 @@ def finite_or(x: jnp.ndarray, fallback) -> jnp.ndarray:
 def round_up(x: int, multiple: int) -> int:
     """Round up to a hardware-friendly multiple (lane width 128 etc.)."""
     return ((x + multiple - 1) // multiple) * multiple
+
+
+def inv3x3(V: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    `jnp.linalg.inv` on (M, 3, 3) lowers to batched LU on TPU, which is
+    scalarization-bound for thousands of tiny blocks (the BA point-block
+    elimination was ~2.8 ms per LM iteration with it); the cofactor form
+    is ~40 fused elementwise VPU ops over the batch. Inputs here are the
+    damped point Hessian blocks (symmetric PD by construction), so det
+    is bounded away from zero; ``eps`` only guards true degeneracy.
+    """
+    a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    d, e, f = V[..., 1, 0], V[..., 1, 1], V[..., 1, 2]
+    g, h, i = V[..., 2, 0], V[..., 2, 1], V[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    rows = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows * inv_det[..., None, None]

@@ -124,3 +124,38 @@ def test_ransac_jit_compiles(rng):
     r1 = f(jax.random.PRNGKey(0))
     r2 = f(jax.random.PRNGKey(0))
     assert np.allclose(np.asarray(r1.pose), np.asarray(r2.pose))
+
+
+def test_kabsch_horn_matches_svd_procrustes(rng):
+    """Horn quaternion Kabsch (power + Rayleigh iteration) vs the
+    classic SVD Procrustes solution, over random weighted minimal and
+    non-minimal sets: rotations agree to < 0.05 deg (f32 floor),
+    translations to < 1e-3."""
+    from semantic_slam_master_tpu.core import lie
+
+    worst_ang, worst_t = 0.0, 0.0
+    for _ in range(100):
+        n = int(rng.integers(3, 30))
+        src = rng.normal(0, 1, (n, 3)).astype(np.float32)
+        xi = rng.normal(0, 0.5, 6).astype(np.float32)
+        T = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+        dst = (
+            src @ T[:3, :3].T + T[:3, 3]
+            + rng.normal(0, 0.001, (n, 3)).astype(np.float32)
+        )
+        w = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        Th = np.asarray(pnp.kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)))
+        ws = w / w.sum()
+        mu_s = (src * ws[:, None]).sum(0)
+        mu_d = (dst * ws[:, None]).sum(0)
+        cov = ((dst - mu_d) * ws[:, None]).T @ (src - mu_s)
+        U, _, Vt = np.linalg.svd(cov.astype(np.float64))
+        R = U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
+        t = mu_d - R @ mu_s
+        cosang = (np.trace(Th[:3, :3].T @ R) - 1) / 2
+        worst_ang = max(
+            worst_ang, np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+        )
+        worst_t = max(worst_t, np.linalg.norm(Th[:3, 3] - t))
+    assert worst_ang < 0.05, worst_ang
+    assert worst_t < 1e-3, worst_t
