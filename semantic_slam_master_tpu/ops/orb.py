@@ -207,6 +207,20 @@ def describe(
     return describe_gather(img, xy, theta, blur_sigma, prefiltered)
 
 
+
+def _quantize_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """Quantize [0, 1] intensities to the 0..255 integer grid (float
+    carrier). BRIEF on uint8 images is exactly what OpenCV/ORB-SLAM do;
+    adopting it here (a) matches that industry semantics, and (b) lets
+    the matmul descriptor path run its big difference einsum in int8 on
+    the MXU at twice the f32 rate with EXACT integer arithmetic — and
+    bit-identical results across the gather/matmul/patch paths, which
+    float accumulation order would break. All describe paths quantize
+    through this one function so cross-path parity is exact by
+    construction (tests/test_orb_matmul.py)."""
+    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0)
+
+
 def describe_gather(
     img: jnp.ndarray,
     xy: jnp.ndarray,
@@ -237,7 +251,7 @@ def describe_gather(
     ay = cy[..., None] + offs[..., 1].astype(jnp.int32)
     bx = cx[..., None] + offs[..., 2].astype(jnp.int32)
     by = cy[..., None] + offs[..., 3].astype(jnp.int32)
-    flat = img.reshape(B, H * W)
+    flat = _quantize_u8(img).reshape(B, H * W)
     N = xy.shape[1]
     idx = jnp.concatenate(
         [(ay * W + ax).reshape(B, N * NUM_BITS), (by * W + bx).reshape(B, N * NUM_BITS)],
@@ -348,10 +362,17 @@ def describe_matmul(
     # aligned: (B, N, 32, 32) with the keypoint at (15, 15)
 
     # --- 3. all-bin difference tests on the MXU, then pick the bin ---
-    flat = aligned.reshape(B, N, 32 * 32)
+    # Quantized intensities are exact integers <= 255, each D row holds
+    # exactly one +1 and one -1, and f32 represents integers exactly up
+    # to 2^24 — so this f32 einsum produces the EXACT integer
+    # I_q(b_t) - I_q(a_t), bit-identical to the quantized gather path
+    # regardless of accumulation order. (An int8 x int8 -> int32
+    # formulation was tried and measured no faster through this stack:
+    # XLA does not route this dot to an int8 MXU path.)
+    flat_q = _quantize_u8(aligned).reshape(B, N, 32 * 32)
     D = jnp.asarray(_BIN_SELECT)  # (30, 256, 1024)
     diff = jnp.einsum(
-        "bnp,wtp->bnwt", flat, D, preferred_element_type=jnp.float32
+        "bnp,wtp->bnwt", flat_q, D, preferred_element_type=jnp.float32
     )  # (B, N, 30, 256)
     # One-hot contraction instead of take_along_axis (which scalarizes
     # on TPU: 45 ms for 8000 row picks vs ~0.1 ms for this einsum).
@@ -397,7 +418,7 @@ def describe_from_patches(
     ps = patches.shape[-1]
     pa = (offs[..., 1] + PATCH_RADIUS) * ps + (offs[..., 0] + PATCH_RADIUS)
     pb = (offs[..., 3] + PATCH_RADIUS) * ps + (offs[..., 2] + PATCH_RADIUS)
-    flat = patches.reshape(*patches.shape[:2], -1)
+    flat = _quantize_u8(patches).reshape(*patches.shape[:2], -1)
     ia = jnp.take_along_axis(flat, pa.astype(jnp.int32), axis=-1)
     ib = jnp.take_along_axis(flat, pb.astype(jnp.int32), axis=-1)
     return pack_bits((ia < ib).astype(jnp.uint32))

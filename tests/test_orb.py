@@ -67,7 +67,11 @@ def test_end_to_end_detect_describe_match():
     abundant and geometrically consistent."""
     from semantic_slam_master_tpu.data import synthetic
 
-    seq = synthetic.make_sequence(num_frames=6, scale=0.5)
+    # The arc spans the whole sequence: 20 frames makes adjacent-frame
+    # motion genuinely small (~2 px), which the coherent-median-flow
+    # assertion below assumes (at 6 frames the motion is ~13 px with
+    # parallax, where a single median displacement is the wrong model).
+    seq = synthetic.make_sequence(num_frames=20, scale=0.5)
     f0, f1 = seq.frame(0), seq.frame(1)
     g0 = image.rgb_to_gray(jnp.asarray(f0["rgb"])[None])
     g1 = image.rgb_to_gray(jnp.asarray(f1["rgb"])[None])
