@@ -362,15 +362,17 @@ def describe_matmul(
     # aligned: (B, N, 32, 32) with the keypoint at (15, 15)
 
     # --- 3. all-bin difference tests on the MXU, then pick the bin ---
-    # Quantized intensities are exact integers <= 255, each D row holds
-    # exactly one +1 and one -1, and f32 represents integers exactly up
-    # to 2^24 — so this f32 einsum produces the EXACT integer
+    # Quantized intensities are exact integers <= 255 — exactly
+    # representable in bf16 (8 mantissa bits cover integers to 256) —
+    # and each D row holds exactly one +1 and one -1, so a bf16 einsum
+    # with f32 accumulation produces the EXACT integer
     # I_q(b_t) - I_q(a_t), bit-identical to the quantized gather path
-    # regardless of accumulation order. (An int8 x int8 -> int32
-    # formulation was tried and measured no faster through this stack:
-    # XLA does not route this dot to an int8 MXU path.)
-    flat_q = _quantize_u8(aligned).reshape(B, N, 32 * 32)
-    D = jnp.asarray(_BIN_SELECT)  # (30, 256, 1024)
+    # regardless of accumulation order, at the MXU's full bf16 rate
+    # (this ~126 GFLOP/batch product is the describe stage's dominant
+    # cost; an int8 x int8 -> int32 formulation was tried and measured
+    # no faster — XLA does not route this dot to an int8 MXU path).
+    flat_q = _quantize_u8(aligned).reshape(B, N, 32 * 32).astype(jnp.bfloat16)
+    D = jnp.asarray(_BIN_SELECT).astype(jnp.bfloat16)  # (30, 256, 1024)
     diff = jnp.einsum(
         "bnp,wtp->bnwt", flat_q, D, preferred_element_type=jnp.float32
     )  # (B, N, 30, 256)
