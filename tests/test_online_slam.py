@@ -52,8 +52,14 @@ def test_chunked_matches_monolithic():
         key, feats, seq.cam, cfg, chunk_size=5, enable_loop_closure=False
     )
     assert loops == []
+    # Chunked and monolithic are the same ALGORITHM (same keyframe
+    # decisions, same match counts — pinned exactly below), but they are
+    # different XLA programs: fusion reorders f32 arithmetic inside the
+    # open-coded Kabsch/GN math, so poses agree only to f32 noise (the
+    # old 1e-5 bound held while Kabsch was an opaque SVD custom call
+    # with fixed internal order).
     np.testing.assert_allclose(
-        np.asarray(out.poses_wc), np.asarray(ref.poses_wc), atol=1e-5
+        np.asarray(out.poses_wc), np.asarray(ref.poses_wc), atol=1e-3
     )
     np.testing.assert_array_equal(
         np.asarray(out.num_inliers), np.asarray(ref.num_inliers)
