@@ -363,13 +363,23 @@ def describe_matmul(
     # (dy, blk, lane) -> 64 slab columns = [blk0 lanes | blk0+1 lanes]
     slab = slab.reshape(B, N, 32, 64)
 
-    # --- 2. lane alignment: 32 masked static slices (fused VPU selects;
-    # a per-keypoint one-hot shift matmul would be 8000 tiny batched
-    # matmuls, which the MXU lowers catastrophically) ---
+    # --- 2. lane alignment via masked static slices, in TWO stages:
+    # xoff = 8a + b with a in [0,4), b in [0,8), so a coarse pass of 4
+    # selects (39-lane window) followed by a fine pass of 8 replaces the
+    # flat 32-pass select — 12 full-tensor traversals instead of 32,
+    # bit-identical (each (a, b) pair composes to exactly slab[o:o+32]).
+    # (A per-keypoint one-hot shift matmul would be 8000 tiny batched
+    # matmuls, which the MXU lowers catastrophically.)
+    coarse = xoff // 8
+    fine = xoff - coarse * 8
+    mid = jnp.zeros((B, N, 32, 39), slab.dtype)
+    for a in range(4):
+        mask = (coarse == a)[..., None, None].astype(slab.dtype)
+        mid = mid + mask * slab[:, :, :, 8 * a : 8 * a + 39]
     aligned = jnp.zeros((B, N, 32, 32), slab.dtype)
-    for o in range(32):
-        mask = (xoff == o)[..., None, None].astype(slab.dtype)
-        aligned = aligned + mask * slab[:, :, :, o : o + 32]
+    for b in range(8):
+        mask = (fine == b)[..., None, None].astype(slab.dtype)
+        aligned = aligned + mask * mid[:, :, :, b : b + 32]
     # aligned: (B, N, 32, 32) with the keypoint at (15, 15)
 
     # --- 3. all-bin difference tests on the MXU, then pick the bin ---
