@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -347,6 +348,16 @@ def describe_matmul(
     cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), r, W - 18)
     cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), r, H - 1 - r)
 
+    if jax.default_backend() == "tpu" and W >= 256 and H >= 40:
+        # Fused Pallas gather+align: per-keypoint aligned-superset DMA +
+        # in-VMEM dynamic roll (ops/pallas/patches.py). 1.25 ms/batch vs
+        # ~6.5 ms for the XLA row gather + 12-pass masked-select below
+        # (which remain the portable path and the parity reference).
+        from .pallas.patches import gather_aligned_patches
+
+        aligned = gather_aligned_patches(img, xy)
+        return _describe_from_aligned(aligned, offs_bins)
+
     # --- 1. row-block slab gather ---
     nblk = W // 32
     x0 = cx - r
@@ -382,16 +393,24 @@ def describe_matmul(
         aligned = aligned + mask * mid[:, :, :, b : b + 32]
     # aligned: (B, N, 32, 32) with the keypoint at (15, 15)
 
-    # --- 3. all-bin difference tests on the MXU, then pick the bin ---
-    # Quantized intensities are exact integers <= 255 — exactly
-    # representable in bf16 (8 mantissa bits cover integers to 256) —
-    # and each D row holds exactly one +1 and one -1, so a bf16 einsum
-    # with f32 accumulation produces the EXACT integer
-    # I_q(b_t) - I_q(a_t), bit-identical to the quantized gather path
-    # regardless of accumulation order, at the MXU's full bf16 rate
-    # (this ~126 GFLOP/batch product is the describe stage's dominant
-    # cost; an int8 x int8 -> int32 formulation was tried and measured
-    # no faster — XLA does not route this dot to an int8 MXU path).
+    return _describe_from_aligned(aligned, offs_bins)
+
+
+def _describe_from_aligned(
+    aligned: jnp.ndarray, offs_bins: jnp.ndarray
+) -> jnp.ndarray:
+    """All-bin difference tests on the MXU from centred (B, N, 32, 32)
+    patches (keypoint at (15, 15)), then pick each keypoint's bin.
+
+    Quantized intensities are exact integers <= 255 — exactly
+    representable in bf16 (8 mantissa bits cover integers to 256) —
+    and each D row holds exactly one +1 and one -1, so a bf16 einsum
+    with f32 accumulation produces the EXACT integer
+    I_q(b_t) - I_q(a_t), bit-identical to the quantized gather path
+    regardless of accumulation order, at the MXU's full bf16 rate.
+    (An int8 x int8 -> int32 formulation was tried and measured no
+    faster — XLA does not route this dot to an int8 MXU path.)"""
+    B, N = aligned.shape[:2]
     flat_q = _quantize_u8(aligned).reshape(B, N, 32 * 32).astype(jnp.bfloat16)
     D = jnp.asarray(_BIN_SELECT).astype(jnp.bfloat16)  # (30, 256, 1024)
     diff = jnp.einsum(

@@ -104,3 +104,109 @@ def gather_patches_pallas(
         grid_spec=grid_spec,
         interpret=interpret,
     )(coords, img)
+
+
+# ---------------------------------------------------------------------------
+# The SECOND, working formulation: Mosaic-aligned superset DMA + dynamic roll.
+# ---------------------------------------------------------------------------
+
+SUP_ROWS = 40  # 8-aligned superset rows covering a 32-row window anywhere
+SUP_LANES = 256  # 128-aligned superset lanes covering a 32-lane window
+
+
+def _aligned_patch_kernel(
+    coords_ref, img_ref, out_ref, scratch, sems, *, group, H, W
+):
+    """Per keypoint: DMA an ALIGNED (40, 256) superset of the 32x32 patch
+    from HBM (8-sublane / 128-lane aligned starts satisfy Mosaic's DMA
+    tiling rules — the constraint that killed the first kernel), then
+    center it with `pltpu.roll` (dynamic circular shift; positive
+    amounts only) and emit the 32x32 prefix. G copies in flight.
+
+    The aligned starts are computed IN-KERNEL from the raw window
+    origins: Mosaic proves divisibility of the `(y // 8) * 8` expression
+    itself, but cannot prove it for a prefetched value that merely
+    happens to be aligned (passing precomputed aligned starts re-trips
+    "failed to prove ... divisible by the tiling")."""
+    def aligned(n):
+        y0 = coords_ref[0, n, 0]
+        x0 = coords_ref[0, n, 1]
+        # Clamp BEFORE the align-down: Mosaic proves divisibility of
+        # (expr // 8) * 8 but not of min(8a, 8b). H/W - superset are
+        # themselves 8/128-divisible for supported shapes, so the
+        # align-down of the clamped origin stays in-bounds.
+        y0a = (jnp.minimum(y0, H - SUP_ROWS) // 8) * 8
+        x0a = (jnp.minimum(x0, W - SUP_LANES) // 128) * 128
+        return y0a, x0a, y0 - y0a, x0 - x0a
+
+    b = pl.program_id(0)
+    copies = []
+    for g in range(group):
+        y0a, x0a, _, _ = aligned(g)
+        dma = pltpu.make_async_copy(
+            img_ref.at[b, pl.ds(y0a, SUP_ROWS), pl.ds(x0a, SUP_LANES)],
+            scratch.at[g],
+            sems.at[g],
+        )
+        dma.start()
+        copies.append(dma)
+    for g, dma in enumerate(copies):
+        _, _, sh_y, sh_x = aligned(g)
+        dma.wait()
+        r = pltpu.roll(scratch[g], SUP_ROWS - sh_y, 0)
+        r = pltpu.roll(r, SUP_LANES - sh_x, 1)
+        out_ref[0, g] = r[:32, :32]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def gather_aligned_patches(
+    img: jnp.ndarray,
+    xy: jnp.ndarray,
+    group: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """img (B, H, W) f32 (W >= 256, H >= 40), xy (B, N, 2) float pixel
+    coords -> (B, N, 32, 32) patches with the keypoint at (15, 15) —
+    the fused replacement for describe_matmul's slab row gather +
+    masked-select lane alignment (measured 3.5 + ~3 ms of an 8-frame
+    batch in XLA). Keypoints are clamped to [15, W-18] x [15, H-17]
+    (identical to the XLA path for detector-margin keypoints)."""
+    B, H, W = img.shape
+    N = xy.shape[1]
+    assert W >= SUP_LANES and H >= SUP_ROWS, (H, W)
+    # Mosaic requires the coords SMEM block's sublane dim (= group) to be
+    # a multiple of 8; pad the keypoint axis up and slice the output.
+    n_pad = (-N) % group
+    if n_pad:
+        xy = jnp.concatenate(
+            [xy, jnp.full((B, n_pad, 2), 16.0, xy.dtype)], axis=1
+        )
+    cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 15, W - 18)
+    cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 15, H - 17)
+    coords = jnp.stack([cy - 15, cx - 15], axis=-1)  # (B, N(+pad), 2)
+
+    # Coords ride a BLOCKED SMEM operand — one (1, group, 2) tile per
+    # grid step — instead of scalar prefetch, which stages the ENTIRE
+    # (B, N, 2) array in 1 MB SMEM and overflows at production N.
+    Np = N + n_pad
+    out = pl.pallas_call(
+        functools.partial(_aligned_patch_kernel, group=group, H=H, W=W),
+        out_shape=jax.ShapeDtypeStruct((B, Np, 32, 32), img.dtype),
+        grid=(B, Np // group),
+        in_specs=[
+            pl.BlockSpec(
+                (1, group, 2), lambda b, c: (b, c, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, group, 32, 32), lambda b, c: (b, c, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group, SUP_ROWS, SUP_LANES), img.dtype),
+            pltpu.SemaphoreType.DMA((group,)),
+        ],
+        interpret=interpret,
+    )(coords, img)
+    return out[:, :N]

@@ -48,3 +48,23 @@ def test_patch_kernel_group_fallback(rng):
     ref = sampling.gather_patches(img, centers, 15)
     out = ppatches.gather_patches_pallas(img, centers, 15, interpret=True)
     assert np.allclose(np.asarray(out)[..., :31, :31], np.asarray(ref))
+
+
+def test_aligned_patch_kernel_matches_direct_slice(rng):
+    """gather_aligned_patches (aligned-superset DMA + dynamic roll)
+    centres the keypoint at (15, 15) exactly, including the bottom/right
+    clamp region."""
+    B, H, W, N = 2, 48, 256, 8
+    img = jnp.asarray(rng.normal(size=(B, H, W)).astype(np.float32))
+    xy = jnp.asarray(
+        [[[20.0, 20.0], [16.0, 16.0], [237.0, 30.0], [120.0, 16.0],
+          [200.0, 30.0], [30.0, 16.0], [237.0, 30.0], [100.0, 24.0]]] * B
+    )
+    out = np.asarray(ppatches.gather_aligned_patches(img, xy, interpret=True))
+    im = np.asarray(img)
+    for b in range(B):
+        for n in range(N):
+            cx = int(np.clip(round(float(xy[b, n, 0])), 15, W - 18))
+            cy = int(np.clip(round(float(xy[b, n, 1])), 15, H - 17))
+            ref = im[b, cy - 15 : cy + 17, cx - 15 : cx + 17]
+            assert np.array_equal(out[b, n], ref), (b, n)
