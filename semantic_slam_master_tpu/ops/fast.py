@@ -138,25 +138,32 @@ def detect(
     """
     B, H, W = gray.shape
     score = fast_score(gray, threshold)
-    # Deterministic sub-ulp-scale dither breaks exact score ties BEFORE
-    # NMS, making local maxima strictly unique: plateaus of equal scores
-    # would otherwise all survive `s >= pooled` and violate the
-    # one-survivor-per-block invariant the selection below relies on.
-    # The perturbation (<= ~3e-4 absolute on O(1) scores) is far below
-    # any meaningful corner-strength difference.
-    iota = (
-        jnp.arange(H * W, dtype=jnp.float32).reshape(1, H, W) * np.float32(1e-9)
-    )
-    score = jnp.where(score > 0.0, score + iota, 0.0)
-    # NMS: keep strict local maxima of the score map.
+    # NMS with LEXICOGRAPHIC (score, index) tie-breaking: keep local
+    # maxima, and among exact-score ties within one NMS window keep only
+    # the highest flat index. Exact ties happen on textured plateaus, and
+    # an additive dither is unsound (round-2 advisor: an index*1e-9 step
+    # is below the f32 ulp of typical scores, so tied same-row neighbours
+    # both survived and the block-sum recovery below fabricated a rounded
+    # centroid keypoint between them). Two tied pixels inside one window
+    # see each other symmetrically (each bounds the other's pooled max),
+    # so a second max-pool over the tied pixels' indices makes exactly
+    # one of them dominate — survivors are strictly > all neighbours in
+    # (score, index) order. Indices < 2^24 are exact in f32.
     pooled = max_pool_same(score, nms_radius)
-    score = jnp.where(score >= pooled, score, 0.0)
+    is_tied = (score >= pooled) & (score > 0.0)
+    idx_f = jnp.broadcast_to(
+        jnp.arange(H * W, dtype=jnp.float32).reshape(1, H, W), (B, H, W)
+    )
+    tied_idx = jnp.where(is_tied, idx_f, -1.0)
+    pooled_idx = max_pool_same(tied_idx, nms_radius)
+    score = jnp.where(is_tied & (idx_f >= pooled_idx), score, 0.0)
     mask = (score > 0.0) & _border_mask(H, W, max(margin, BORDER_MARGIN))[None]
     masked = jnp.where(mask, score.reshape(B, H, W), 0.0)
 
     if H % 4 == 0 and W % 4 == 0 and nms_radius >= 3:
         # MXU block reduction: NMS radius >= 3 forces survivors >= 4 px
-        # apart (ties are dithered away), so every 4x4 block holds AT
+        # apart (lexicographic NMS leaves at most one survivor per tie
+        # group), so every 4x4 block holds AT
         # MOST ONE survivor — block "reduction" is therefore a SUM, and
         # block sums are two one-hot matmuls that ride the MXU. The
         # survivor's exact coordinates come from two more weighted block

@@ -62,7 +62,13 @@ def set_test_pattern(pattern: np.ndarray) -> None:
     """Swap the BRIEF test pattern (256, 4) int8 and rebuild the derived
     steering banks. Deployments needing OpenCV-bit-exact descriptors can
     inject OpenCV's `bit_pattern_31_` here at startup; all describe paths
-    (gather, matmul, patch) read the banks this rebuilds."""
+    (gather, matmul, patch) read the banks this rebuilds.
+
+    MUST be called before the first trace of any jitted consumer: jit
+    bakes the banks in as compile-time constants, so callers that already
+    traced (e.g. a jax.jit-wrapped ``extract_features``) keep the old
+    pattern until their cache is cleared (``jax.clear_caches()``). Tests
+    that restore the pattern afterwards must clear caches both times."""
     global _DEFAULT_PATTERN, _PATTERN_BANK, _BIN_SELECT
     pattern = np.asarray(pattern, np.int8)
     assert pattern.shape == (NUM_BITS, 4), pattern.shape

@@ -165,15 +165,14 @@ def gather_aligned_patches(
     group: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """img (B, H, W) f32 (W >= 256, H >= 40), xy (B, N, 2) float pixel
-    coords -> (B, N, 32, 32) patches with the keypoint at (15, 15) —
+    """img (B, H, W) f32, xy (B, N, 2) float pixel coords ->
+    (B, N, 32, 32) patches with the keypoint at (15, 15) —
     the fused replacement for describe_matmul's slab row gather +
     masked-select lane alignment (measured 3.5 + ~3 ms of an 8-frame
     batch in XLA). Keypoints are clamped to [15, W-18] x [15, H-17]
     (identical to the XLA path for detector-margin keypoints)."""
     B, H, W = img.shape
     N = xy.shape[1]
-    assert W >= SUP_LANES and H >= SUP_ROWS, (H, W)
     # Mosaic requires the coords SMEM block's sublane dim (= group) to be
     # a multiple of 8; pad the keypoint axis up and slice the output.
     n_pad = (-N) % group
@@ -181,9 +180,22 @@ def gather_aligned_patches(
         xy = jnp.concatenate(
             [xy, jnp.full((B, n_pad, 2), 16.0, xy.dtype)], axis=1
         )
+    # Clamp against the ORIGINAL dims (parity with the XLA path), THEN pad
+    # the frame so the aligned-superset DMA always fits. The in-kernel
+    # align-down of `min(x0, W - SUP_LANES)` only bounds the shift to
+    # sh_x <= 223 when W % 128 == 0 (otherwise right-edge keypoints get
+    # sh_x up to 255 and `pltpu.roll` wraps the patch — silently corrupt
+    # descriptors at the pyramid's 544/448-wide levels). Same for rows:
+    # sh_y <= 8 needs H % 8 == 0. Padding costs one fused copy (~10 us),
+    # and padded columns are never READ for in-bounds keypoints.
     cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 15, W - 18)
     cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 15, H - 17)
     coords = jnp.stack([cy - 15, cx - 15], axis=-1)  # (B, N(+pad), 2)
+    Hp = max(SUP_ROWS, H + ((-H) % 8))
+    Wp = max(SUP_LANES, W + ((-W) % 128))
+    if (Hp, Wp) != (H, W):
+        img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        H, W = Hp, Wp
 
     # Coords ride a BLOCKED SMEM operand — one (1, group, 2) tile per
     # grid step — instead of scalar prefetch, which stages the ENTIRE

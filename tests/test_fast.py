@@ -70,3 +70,51 @@ def test_detect_on_textured_image(rng):
     assert xy[:, 0].min() >= 16 and xy[:, 1].min() >= 16
 
 
+
+
+def test_exact_tie_single_survivor_real_pixel():
+    """Regression (round-2 advisor, medium): two IDENTICAL corners inside
+    one NMS window produce exactly equal f32 scores. The old additive
+    index dither (1e-9/index) was below the score's ulp, so both tied
+    pixels survived NMS and the block-sum coordinate recovery returned a
+    fabricated centroid between them with a summed score. Lexicographic
+    (score, index) NMS must keep exactly one, at a REAL corner pixel,
+    with the unsummed score."""
+    img = np.zeros((64, 64), dtype=np.float32)
+    # Two identical isolated bright dots 3 px apart (same NMS window at
+    # radius 3) -> bit-identical FAST responses by construction.
+    img[32, 30] = 1.0
+    img[32, 33] = 1.0
+    g = jnp.asarray(img)[None]
+    score_map = np.asarray(fast.fast_score(g, 0.2))[0]
+    s1, s2 = score_map[32, 30], score_map[32, 33]
+    assert s1 > 0 and s1 == s2, "fixture must produce an exact tie"
+    kp = fast.detect(g, num_keypoints=8, threshold=0.2, margin=4)
+    xy = np.asarray(kp.xy)[0][np.asarray(kp.valid)[0]]
+    sc = np.asarray(kp.score)[0][np.asarray(kp.valid)[0]]
+    # Exactly one survivor in the tied pair's neighbourhood...
+    near = xy[(np.abs(xy[:, 1] - 32) <= 1) & (np.abs(xy[:, 0] - 31.5) <= 3)]
+    assert len(near) == 1, near
+    # ...located at one of the two real pixels (not a centroid between)...
+    assert tuple(near[0]) in {(30.0, 32.0), (33.0, 32.0)}, near
+    # ...with the single-corner score (not the sum of both).
+    assert np.isclose(sc.max(), s1, rtol=1e-5), (sc.max(), s1)
+
+
+def test_plateau_ties_spread_survivors(rng):
+    """A checkerboard of identical corners: every survivor must sit on an
+    actual response pixel and survivors must be >= 4 px apart (the block
+    invariant the MXU selection path relies on)."""
+    img = np.zeros((64, 64), dtype=np.float32)
+    for y in range(20, 45, 5):
+        for x in range(20, 45, 5):
+            img[y, x] = 1.0
+    g = jnp.asarray(img)[None]
+    score_map = np.asarray(fast.fast_score(g, 0.2))[0]
+    kp = fast.detect(g, num_keypoints=64, threshold=0.2, margin=4)
+    xy = np.asarray(kp.xy)[0][np.asarray(kp.valid)[0]]
+    for x, y in xy:
+        assert score_map[int(y), int(x)] > 0, (x, y)
+    d = np.linalg.norm(xy[:, None] - xy[None], axis=-1)
+    np.fill_diagonal(d, 1e9)
+    assert d.min() >= 4.0, d.min()

@@ -68,3 +68,48 @@ def test_aligned_patch_kernel_matches_direct_slice(rng):
             cy = int(np.clip(round(float(xy[b, n, 1])), 15, H - 17))
             ref = im[b, cy - 15 : cy + 17, cx - 15 : cx + 17]
             assert np.array_equal(out[b, n], ref), (b, n)
+
+
+def test_aligned_patch_kernel_non_128_width(rng):
+    """Regression (round-2 advisor, high): at W % 128 != 0 (the pyramid's
+    544- and 448-wide levels) right-edge keypoints used to get a lane
+    shift > 224, wrapping the 32-lane patch around the 256-lane superset
+    via `pltpu.roll` — silently corrupted descriptors. The fix pads the
+    frame to a 128-multiple before the kernel; patches must match the
+    direct slice everywhere, including the extreme right edge."""
+    for H, W in [(408, 544), (336, 448), (100, 300)]:
+        B, N = 1, 16
+        img = jnp.asarray(rng.normal(size=(B, H, W)).astype(np.float32))
+        # Dense coverage of the right-edge danger zone plus interior refs.
+        xs = np.concatenate(
+            [np.linspace(W - 60, W + 5, 12), [20.0, 130.0, 260.0, 380.0]]
+        )
+        ys = np.linspace(16, H - 5, N)
+        xy = jnp.asarray(np.stack([xs, ys], axis=-1)[None].astype(np.float32))
+        out = np.asarray(
+            ppatches.gather_aligned_patches(img, xy, interpret=True)
+        )
+        im = np.asarray(img)
+        for n in range(N):
+            cx = int(np.clip(round(float(xy[0, n, 0])), 15, W - 18))
+            cy = int(np.clip(round(float(xy[0, n, 1])), 15, H - 17))
+            ref = im[0, cy - 15 : cy + 17, cx - 15 : cx + 17]
+            assert np.array_equal(out[0, n], ref), (H, W, n)
+
+
+def test_aligned_patch_kernel_non_8_height(rng):
+    """H % 8 != 0: bottom-edge keypoints need the row padding too
+    (sh_y <= 8 only holds when H is a multiple of 8)."""
+    B, H, W, N = 1, 59, 256, 8
+    img = jnp.asarray(rng.normal(size=(B, H, W)).astype(np.float32))
+    ys = np.linspace(H - 25, H + 2, N)
+    xy = jnp.asarray(
+        np.stack([np.linspace(20, 230, N), ys], axis=-1)[None].astype(np.float32)
+    )
+    out = np.asarray(ppatches.gather_aligned_patches(img, xy, interpret=True))
+    im = np.asarray(img)
+    for n in range(N):
+        cx = int(np.clip(round(float(xy[0, n, 0])), 15, W - 18))
+        cy = int(np.clip(round(float(xy[0, n, 1])), 15, H - 17))
+        ref = im[0, cy - 15 : cy + 17, cx - 15 : cx + 17]
+        assert np.array_equal(out[0, n], ref), n
