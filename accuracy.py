@@ -1,0 +1,344 @@
+#!/usr/bin/env python
+"""Accuracy benchmark: full-SLAM ATE/RPE on the TPU, committed per round.
+
+The speed half of the north star is measured by `bench.py`; this is the
+ACCURACY half ("ATE RMSE within 1% of ORB-SLAM3/pySLAM", BASELINE.json).
+No TUM data can exist in this container (no egress), so the evidence is a
+measured PROXY: the TUM-faithful synthetic world (16-bit depth
+quantization at the /5000 TUM scale, Kinect axial depth noise,
+depth holes, motion blur, exposure drift — `data/synthetic.SensorModel`)
+on a 320-frame closed-loop trajectory plus the dynamic-scene and
+learned-frontend fixtures. Reference bands for context:
+ORB-SLAM3 on real TUM spans 0.0103-0.0853 m ATE on static sequences and
+0.4611 m on dynamic fr3_walking_xyz
+(`/root/reference/experiments/baselines/orb_slam3/results.json`).
+
+Implements the reference's declared-but-never-implemented statistical
+protocol (5 runs / Wilcoxon / 95% CI,
+`/root/reference/configs/datasets/tum_rgbd.yaml:63-68`): every row is N
+RANSAC-seed runs summarized as mean +/- CI, and the headline comparisons
+(loop closure on/off, semantics on/off) get paired Wilcoxon p-values.
+
+Rows:
+  loop_harsh_closure  320-frame harsh loop, online SLAM + loop closure
+  loop_harsh_odom     same frames, closure disabled (drift baseline)
+  loop_clean_closure  same trajectory, clean sensor (fidelity cost)
+  dynamic_sem_off     moving-person scene, geometry only (corrupted)
+  dynamic_sem_gt      same, GT-label semantic weighting (recovered)
+  learned / learned_classic_ref
+                      trained tiny frontend vs classic ORB on the same
+                      sequence (learned-vs-classic ATE ratio)
+
+Writes the full JSON to --out and prints ONE summary JSON line.
+"""
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+
+
+def _render(seq, want_rgb=False, want_labels=False):
+    """Render a SyntheticSequence to stacked numpy arrays (gray/depth and
+    optionally rgb/labels), frame by frame to bound memory."""
+    gray, depth, rgb, labels = [], [], [], []
+    for i in range(len(seq)):
+        f = seq.frame(i)
+        r = f["rgb"]
+        gray.append(
+            (0.299 * r[..., 0] + 0.587 * r[..., 1] + 0.114 * r[..., 2]).astype(
+                np.float32
+            )
+        )
+        depth.append(f["depth"])
+        if want_rgb:
+            rgb.append(r)
+        if want_labels:
+            labels.append(f["labels"])
+    out = {
+        "gray": np.stack(gray),
+        "depth": np.stack(depth),
+        "times": np.asarray(seq.timestamps),
+        "poses_gt": np.asarray(seq.poses_wc),
+    }
+    if want_rgb:
+        out["rgb"] = np.stack(rgb)
+    if want_labels:
+        out["labels"] = np.stack(labels)
+    return out
+
+
+def _extract_classic(gray_np, depth_np, num_keypoints, weight_map=None, batch=8):
+    """Chunked batched frontend extraction (production batch shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_slam_master_tpu.slam import tracking
+
+    ext = jax.jit(
+        lambda g, d, w: tracking.extract_features(
+            g, d, num_keypoints=num_keypoints, weight_map=w
+        )
+    )
+    ext_plain = jax.jit(
+        lambda g, d: tracking.extract_features(
+            g, d, num_keypoints=num_keypoints
+        )
+    )
+    F = len(gray_np)
+    outs = []
+    for s in range(0, F, batch):
+        e = min(s + batch, F)
+        pad = batch - (e - s)
+        g = np.concatenate([gray_np[s:e], gray_np[s : s + pad]]) if pad else gray_np[s:e]
+        d = np.concatenate([depth_np[s:e], depth_np[s : s + pad]]) if pad else depth_np[s:e]
+        if weight_map is not None:
+            w = (
+                np.concatenate([weight_map[s:e], weight_map[s : s + pad]])
+                if pad
+                else weight_map[s:e]
+            )
+            r = ext(jnp.asarray(g), jnp.asarray(d), jnp.asarray(w))
+        else:
+            r = ext_plain(jnp.asarray(g), jnp.asarray(d))
+        outs.append(jax.tree.map(lambda x: np.asarray(x)[: e - s], r))
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+
+
+def _run_rows(data, feats, cam, cfg, seeds, closure, chunk_size=32, **loop_kw):
+    """N-seed SLAM runs -> list of per-seed {ate_rmse, rpe_*, loops}."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_slam_master_tpu.eval import ate_rpe
+    from semantic_slam_master_tpu.slam import online
+
+    feats_dev = jax.tree.map(jnp.asarray, feats)
+    rows = []
+    for seed in seeds:
+        t0 = time.time()
+        out, loops = online.run_slam_online(
+            jax.random.PRNGKey(seed),
+            feats_dev,
+            cam,
+            cfg,
+            chunk_size=chunk_size,
+            enable_loop_closure=closure,
+            **loop_kw,
+        )
+        poses = np.asarray(jax.device_get(out.poses_wc), np.float64)
+        res = ate_rpe.evaluate_trajectory(
+            data["times"], data["poses_gt"], data["times"], poses
+        )
+        row = {
+            "seed": int(seed),
+            "ate_rmse": res["ate"]["rmse"],
+            "ate_mean": res["ate"]["mean"],
+            "loops_closed": len(loops),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        if "rpe" in res:
+            row["rpe_trans_rmse"] = res["rpe"]["translation"]["rmse"]
+            row["rpe_rot_rmse_deg"] = res["rpe"]["rotation"]["rmse"]
+        rows.append(row)
+    return rows
+
+
+def _summary(rows, key="ate_rmse"):
+    from semantic_slam_master_tpu.eval import stats
+
+    return stats.summarize([r[key] for r in rows])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--loop-frames", type=int, default=320)
+    ap.add_argument("--dyn-frames", type=int, default=64)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="camera scale for the loop rows (1.0 = 640x480)")
+    ap.add_argument("--keypoints", type=int, default=1000)
+    ap.add_argument("--out", default=str(REPO / "ACCURACY.json"))
+    ap.add_argument("--skip-learned", action="store_true")
+    ap.add_argument("--skip-dynamic", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from semantic_slam_master_tpu.data import synthetic
+    from semantic_slam_master_tpu.eval import stats
+    from semantic_slam_master_tpu.slam import system
+
+    seeds = list(range(args.seeds))
+    result = {
+        "meta": {
+            "backend": jax.default_backend(),
+            "seeds": seeds,
+            "loop_frames": args.loop_frames,
+            "scale": args.scale,
+            "keypoints": args.keypoints,
+            "protocol": "N RANSAC seeds; mean/median/95% CI (Student t); "
+            "paired two-sided Wilcoxon signed-rank "
+            "(reference tum_rgbd.yaml:63-68)",
+        },
+        "rows": {},
+        "comparisons": {},
+    }
+    cfg = system.SlamConfig()
+
+    # ---- loop rows ----
+    t0 = time.time()
+    seq_h = synthetic.make_loop_sequence(
+        num_frames=args.loop_frames, scale=args.scale, harsh=True
+    )
+    data_h = _render(seq_h)
+    seq_c = synthetic.make_loop_sequence(
+        num_frames=args.loop_frames, scale=args.scale, harsh=False
+    )
+    data_c = _render(seq_c)
+    print(f"[accuracy] rendered 2x{args.loop_frames} loop frames "
+          f"in {time.time()-t0:.0f}s", flush=True)
+
+    feats_h = _extract_classic(data_h["gray"], data_h["depth"], args.keypoints)
+    feats_c = _extract_classic(data_c["gray"], data_c["depth"], args.keypoints)
+    loop_kw = dict(min_score=0.30, min_frame_gap=60, min_inliers=25)
+
+    rows_hc = _run_rows(data_h, feats_h, seq_h.cam, cfg, seeds, True, **loop_kw)
+    rows_ho = _run_rows(data_h, feats_h, seq_h.cam, cfg, seeds, False)
+    rows_cc = _run_rows(data_c, feats_c, seq_c.cam, cfg, seeds, True, **loop_kw)
+    result["rows"]["loop_harsh_closure"] = {
+        "runs": rows_hc, "ate": _summary(rows_hc)
+    }
+    result["rows"]["loop_harsh_odom"] = {
+        "runs": rows_ho, "ate": _summary(rows_ho)
+    }
+    result["rows"]["loop_clean_closure"] = {
+        "runs": rows_cc, "ate": _summary(rows_cc)
+    }
+    result["comparisons"]["closure_vs_odom_harsh"] = stats.wilcoxon_signed_rank(
+        [r["ate_rmse"] for r in rows_hc], [r["ate_rmse"] for r in rows_ho]
+    )
+    print(f"[accuracy] loop rows done: harsh+closure "
+          f"{result['rows']['loop_harsh_closure']['ate']['mean']:.4f} m, "
+          f"odom {result['rows']['loop_harsh_odom']['ate']['mean']:.4f} m",
+          flush=True)
+
+    # ---- dynamic-scene rows (semantics off/on) ----
+    if not args.skip_dynamic:
+        from semantic_slam_master_tpu.models import segmenter as seg_mod
+
+        seq_d = synthetic.make_dynamic_sequence(
+            num_frames=args.dyn_frames, scale=args.scale
+        )
+        data_d = _render(seq_d, want_labels=True)
+        wmap = np.asarray(
+            seg_mod.class_weights_map(jnp.asarray(data_d["labels"]))
+        ).astype(np.float32)
+        feats_off = _extract_classic(
+            data_d["gray"], data_d["depth"], args.keypoints
+        )
+        feats_gt = _extract_classic(
+            data_d["gray"], data_d["depth"], args.keypoints, weight_map=wmap
+        )
+        rows_off = _run_rows(
+            data_d, feats_off, seq_d.cam, cfg, seeds, False
+        )
+        rows_gt = _run_rows(data_d, feats_gt, seq_d.cam, cfg, seeds, False)
+        result["rows"]["dynamic_sem_off"] = {
+            "runs": rows_off, "ate": _summary(rows_off)
+        }
+        result["rows"]["dynamic_sem_gt"] = {
+            "runs": rows_gt, "ate": _summary(rows_gt)
+        }
+        result["comparisons"]["semantics_gt_vs_off_dynamic"] = (
+            stats.wilcoxon_signed_rank(
+                [r["ate_rmse"] for r in rows_gt],
+                [r["ate_rmse"] for r in rows_off],
+            )
+        )
+        print(f"[accuracy] dynamic rows done: sem_off "
+              f"{result['rows']['dynamic_sem_off']['ate']['mean']:.4f} m, "
+              f"sem_gt {result['rows']['dynamic_sem_gt']['ate']['mean']:.4f} m",
+              flush=True)
+
+    # ---- learned-frontend row (vs classic on the same sequence) ----
+    ckpt = REPO / "artifacts" / "frontend_tiny" / "best_model"
+    if not args.skip_learned and ckpt.exists():
+        from semantic_slam_master_tpu.slam import tracking
+        from semantic_slam_master_tpu.train import config as config_mod, trainer
+
+        tcfg = config_mod.load_config(
+            str(REPO / "configs" / "train_tiny_synthetic.yaml")
+        )
+        model, state = trainer.create_train_state(tcfg, steps_per_epoch=1)
+        state, _ = trainer.restore_checkpoint(str(ckpt), state)
+        variables = {
+            "params": trainer.merge_params(state.trainable, state.frozen),
+            "batch_stats": state.batch_stats,
+        }
+        # 256x192 (both /16) keeps the ViT patch grid exact.
+        seq_l = synthetic.make_sequence(num_frames=args.dyn_frames, scale=0.4)
+        data_l = _render(seq_l, want_rgb=True)
+
+        ext = jax.jit(
+            lambda r, d: tracking.extract_learned_features(
+                model, variables, r, d
+            )
+        )
+        F = len(data_l["rgb"])
+        outs = []
+        for s in range(0, F, 8):
+            e = min(s + 8, F)
+            pad = 8 - (e - s)
+            r = data_l["rgb"][s:e]
+            d = data_l["depth"][s:e]
+            if pad:
+                r = np.concatenate([r, data_l["rgb"][s : s + pad]])
+                d = np.concatenate([d, data_l["depth"][s : s + pad]])
+            o = ext(jnp.asarray(r), jnp.asarray(d))
+            outs.append(jax.tree.map(lambda x: np.asarray(x)[: e - s], o))
+        feats_l = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+
+        lcfg = cfg._replace(min_inliers=12)
+        rows_l = _run_rows(data_l, feats_l, seq_l.cam, lcfg, seeds, False)
+        feats_lc = _extract_classic(data_l["gray"], data_l["depth"], 512)
+        rows_lc = _run_rows(data_l, feats_lc, seq_l.cam, cfg, seeds, False)
+        result["rows"]["learned"] = {"runs": rows_l, "ate": _summary(rows_l)}
+        result["rows"]["learned_classic_ref"] = {
+            "runs": rows_lc, "ate": _summary(rows_lc)
+        }
+        result["comparisons"]["learned_vs_classic_ratio"] = float(
+            _summary(rows_l)["mean"] / max(_summary(rows_lc)["mean"], 1e-9)
+        )
+        print(f"[accuracy] learned rows done: learned "
+              f"{result['rows']['learned']['ate']['mean']:.4f} m vs classic "
+              f"{result['rows']['learned_classic_ref']['ate']['mean']:.4f} m",
+              flush=True)
+
+    Path(args.out).write_text(json.dumps(result, indent=1))
+    head = {
+        "metric": "ATE RMSE (m), harsh 320-frame loop, online SLAM + closure",
+        "value": result["rows"]["loop_harsh_closure"]["ate"]["mean"],
+        "ci95": result["rows"]["loop_harsh_closure"]["ate"].get(
+            "ci95_half_width"
+        ),
+        "odom_ate": result["rows"]["loop_harsh_odom"]["ate"]["mean"],
+        "closure_p": result["comparisons"]["closure_vs_odom_harsh"]["p_value"],
+        "out": str(args.out),
+    }
+    print(json.dumps(head))
+
+
+if __name__ == "__main__":
+    main()

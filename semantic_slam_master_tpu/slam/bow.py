@@ -168,18 +168,101 @@ def detect_loops(
     that are keyframes. Returns [(frame_i, frame_j, score)] candidate
     loop closures (j < i - gap).
     """
-    sigs = jnp.stack(
-        [
-            keyframe_signature(per_frame_desc[i], per_frame_valid[i], vocab)
-            for i in keyframe_idx
-        ]
+    sigs = jax.vmap(keyframe_signature, in_axes=(0, 0, None))(
+        jnp.asarray(per_frame_desc)[np.asarray(keyframe_idx)],
+        jnp.asarray(per_frame_valid)[np.asarray(keyframe_idx)],
+        vocab,
     )
-    scores = sigs @ sigs.T  # (Kf, Kf)
-    loops = []
-    kf = list(keyframe_idx)
-    s = np.asarray(scores)
-    for a in range(len(kf)):
-        for b in range(a):
-            if kf[a] - kf[b] >= min_frame_gap and s[a, b] >= min_score:
-                loops.append((int(kf[a]), int(kf[b]), float(s[a, b])))
-    return loops
+    s = np.asarray(sigs @ sigs.T)  # (Kf, Kf)
+    kf = np.asarray(keyframe_idx)
+    # Vectorized thresholding (was an O(Kf^2) Python double loop).
+    gap_ok = (kf[:, None] - kf[None, :]) >= min_frame_gap  # a - b, b older
+    hit = np.tril(gap_ok & (s >= min_score), -1)
+    aa, bb = np.nonzero(hit)
+    return [
+        (int(kf[a]), int(kf[b]), float(s[a, b])) for a, b in zip(aa, bb)
+    ]
+
+
+class BowIndex:
+    """Incremental BoW keyframe index for ONLINE loop closure.
+
+    Fixes the round-2 finding that `run_slam_online` re-trained the
+    k-medians vocabulary from scratch and re-scored the FULL keyframe
+    history at every chunk boundary (O(F^2)-ish host work). The index:
+
+    - buffers keyframe descriptors until ``min_train_keyframes`` have
+      arrived, then trains the vocabulary ONCE and freezes it (DBoW
+      semantics: a fixed vocabulary, trained on early data);
+    - computes each keyframe's signature exactly once;
+    - scores only NEW keyframes against the stored history per query.
+
+    Host-side object (lives across chunk boundaries, like the loop-
+    closing thread's database in ORB-SLAM3).
+    """
+
+    def __init__(
+        self,
+        num_words: int = 1024,
+        min_train_keyframes: int = 4,
+        vocab: jnp.ndarray | None = None,
+    ):
+        self.num_words = num_words
+        self.min_train_keyframes = min_train_keyframes
+        self.vocab = vocab
+        self._buffer: list = []  # [(desc np, valid np, frame_id)] pre-vocab
+        self.signatures: list = []  # np (K_vocab,) per indexed keyframe
+        self.frame_ids: list = []  # frame id per indexed keyframe
+
+    def add_keyframe(self, desc, valid, frame_id: int) -> None:
+        self._buffer.append(
+            (np.asarray(desc), np.asarray(valid), int(frame_id))
+        )
+        self._drain()
+
+    def _drain(self) -> None:
+        if self.vocab is None:
+            if (
+                len(self._buffer) + len(self.frame_ids)
+                < self.min_train_keyframes
+            ):
+                return
+            corpus = np.concatenate([d[v] for d, v, _ in self._buffer])
+            if len(corpus) < 64:
+                return
+            num_words = int(min(self.num_words, max(64, len(corpus) // 4)))
+            self.vocab = train_vocabulary(
+                jnp.asarray(corpus), num_words=num_words
+            )
+        for desc, valid, fid in self._buffer:
+            sig = keyframe_signature(
+                jnp.asarray(desc), jnp.asarray(valid), self.vocab
+            )
+            self.signatures.append(np.asarray(sig))
+            self.frame_ids.append(fid)
+        self._buffer.clear()
+
+    def new_candidates(
+        self,
+        num_new: int,
+        min_score: float = 0.35,
+        min_frame_gap: int = 30,
+    ):
+        """Score the last ``num_new`` indexed keyframes against all OLDER
+        ones. Returns [(frame_new, frame_old, score)], best-first."""
+        K = len(self.frame_ids)
+        if K < 2 or num_new <= 0:
+            return []
+        num_new = min(num_new, K)
+        sigs = np.stack(self.signatures)
+        fids = np.asarray(self.frame_ids)
+        new = sigs[K - num_new :]
+        s = new @ sigs.T  # (num_new, K)
+        out = []
+        for r in range(num_new):
+            a = K - num_new + r
+            ok = (fids[a] - fids[:a]) >= min_frame_gap
+            for b in np.nonzero(ok & (s[r, :a] >= min_score))[0]:
+                out.append((int(fids[a]), int(fids[b]), float(s[r, b])))
+        out.sort(key=lambda t: -t[2])
+        return out

@@ -92,9 +92,50 @@ def close_sequence_loops(
     candidates.sort(key=lambda t: -t[2])
 
     kf_pos = {int(f): k for k, f in enumerate(kf_idx)}
+    raw_edges, accepted = verify_candidates(
+        candidates, features, cam, min_inliers, max_loops, seed=seed
+    )
+    edges = [
+        (kf_pos[fi], kf_pos[fj], jnp.asarray(Z, jnp.float32), w)
+        for fi, fj, Z, w in raw_edges
+    ]
+    if not edges:
+        return poses_wc, []
+
+    corrected = _optimize_and_propagate(poses_wc, kf_idx, edges)
+    return corrected, accepted
+
+
+def _optimize_and_propagate(
+    poses_wc: np.ndarray, kf_idx: np.ndarray, edges
+) -> np.ndarray:
+    """Pose-graph optimize the keyframe chain with loop ``edges``, then
+    move every frame rigidly with its nearest preceding keyframe."""
+    kf_poses = jnp.asarray(poses_wc[kf_idx], jnp.float32)
+    kf_opt = np.asarray(
+        posegraph.close_loops(kf_poses, edges), dtype=np.float64
+    )
+    corrections = np.einsum(
+        "kij,kjl->kil", kf_opt, np.linalg.inv(poses_wc[kf_idx])
+    )
+    owner = np.searchsorted(kf_idx, np.arange(len(poses_wc)), side="right") - 1
+    owner = np.clip(owner, 0, len(kf_idx) - 1)
+    return np.einsum("fij,fjl->fil", corrections[owner], poses_wc)
+
+
+def verify_candidates(
+    candidates,
+    features: FrameFeatures,
+    cam: PinholeCamera,
+    min_inliers: int,
+    max_loops: int,
+    seed: int = 0,
+):
+    """Geometric verification of BoW loop candidates. Returns
+    (edges [(frame_i, frame_j, Z np(4,4), weight)], accepted
+    [(frame_i, frame_j, score)])."""
     key = jax.random.PRNGKey(seed)
-    edges = []
-    accepted = []
+    edges, accepted = [], []
     for fi, fj, score in candidates[:max_loops]:
         key, sub = jax.random.split(key)
         feats_i = jax.tree.map(lambda x: x[fi], features)
@@ -102,23 +143,53 @@ def close_sequence_loops(
         Z, inl = _loop_edge_pose(sub, feats_i, feats_j, cam, min_inliers)
         if inl < min_inliers:
             continue
-        edges.append((kf_pos[fi], kf_pos[fj], jnp.asarray(np.asarray(Z)), 5.0))
+        edges.append((fi, fj, np.asarray(Z), 5.0))
         accepted.append((fi, fj, score))
-    if not edges:
-        return poses_wc, []
+    return edges, accepted
 
-    kf_poses = jnp.asarray(poses_wc[kf_idx], jnp.float32)
-    kf_opt = np.asarray(
-        posegraph.close_loops(kf_poses, edges), dtype=np.float64
+
+def close_loops_incremental(
+    index: "bow.BowIndex",
+    poses_wc: np.ndarray,
+    features: FrameFeatures,
+    is_keyframe: np.ndarray,
+    num_new_keyframes: int,
+    cam: PinholeCamera,
+    prev_edges: list,
+    min_score: float = 0.35,
+    min_frame_gap: int = 30,
+    min_inliers: int = 25,
+    max_loops: int = 5,
+    seed: int = 0,
+):
+    """ONE incremental loop-closing pass for online SLAM.
+
+    ``index`` persists across calls (vocabulary trained once, signatures
+    cached, only the ``num_new_keyframes`` most recent keyframes are
+    scored against the history — the fix for the round-2 O(F^2) finding).
+    ``prev_edges``: previously accepted [(fi, fj, Z, w)] edges — the pose
+    graph is re-optimized over ALL accepted edges so far, so later loops
+    refine earlier corrections instead of fighting them.
+
+    Returns (corrected poses (F, 4, 4), newly accepted
+    [(frame_i, frame_j, score)], new_edges).
+    """
+    poses_wc = np.asarray(poses_wc, dtype=np.float64)
+    kf_idx = np.flatnonzero(np.asarray(is_keyframe))
+    candidates = index.new_candidates(
+        num_new_keyframes, min_score=min_score, min_frame_gap=min_frame_gap
     )
-
-    # Propagate: frames move rigidly with their nearest preceding keyframe.
-    corrected = poses_wc.copy()
-    corrections = [
-        kf_opt[k] @ np.linalg.inv(poses_wc[kf_idx[k]]) for k in range(len(kf_idx))
+    new_edges, accepted = verify_candidates(
+        candidates, features, cam, min_inliers, max_loops, seed=seed
+    )
+    edges = list(prev_edges) + new_edges
+    if not new_edges:
+        return poses_wc, [], []
+    kf_pos = {int(f): k for k, f in enumerate(kf_idx)}
+    pg_edges = [
+        (kf_pos[fi], kf_pos[fj], jnp.asarray(Z, jnp.float32), w)
+        for fi, fj, Z, w in edges
+        if fi in kf_pos and fj in kf_pos
     ]
-    owner = np.searchsorted(kf_idx, np.arange(len(poses_wc)), side="right") - 1
-    owner = np.clip(owner, 0, len(kf_idx) - 1)
-    for f in range(len(poses_wc)):
-        corrected[f] = corrections[owner[f]] @ poses_wc[f]
-    return corrected, accepted
+    corrected = _optimize_and_propagate(poses_wc, kf_idx, pg_edges)
+    return corrected, accepted, new_edges
