@@ -139,6 +139,7 @@ def _run_rows(data, feats, cam, cfg, seeds, closure, chunk_size=32, **loop_kw):
             "ate_rmse": res["ate"]["rmse"],
             "ate_mean": res["ate"]["mean"],
             "loops_closed": len(loops),
+            "loops": [[int(a), int(b), round(float(s), 3)] for a, b, s in loops],
             "wall_s": round(time.time() - t0, 1),
         }
         if "rpe" in res:

@@ -16,7 +16,11 @@ from pathlib import Path
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="run-tests", description=__doc__)
-    parser.add_argument("--frontend", choices=("orb", "learned"), default="orb")
+    parser.add_argument(
+        "--frontend", choices=("orb", "orb-pyramid", "learned"), default="orb"
+    )
+    parser.add_argument("--num-levels", type=int, default=4,
+                        help="pyramid levels for --frontend orb-pyramid")
     parser.add_argument("--checkpoint", default=None,
                         help="orbax checkpoint for the learned frontend")
     parser.add_argument("--config", default=None,
@@ -54,6 +58,11 @@ def main(argv=None):
     # ---- frontend adapter ----
     if args.frontend == "orb":
         adapter = frontend_tests.orb_adapter()
+    elif args.frontend == "orb-pyramid":
+        # The production multi-scale path that feeds full SLAM.
+        adapter = frontend_tests.pyramid_orb_adapter(
+            num_levels=args.num_levels
+        )
     else:
         import jax
         import jax.numpy as jnp

@@ -112,14 +112,29 @@ def default_movers() -> List[Mover]:
     ]
 
 
-def _texture(u: np.ndarray, v: np.ndarray, label: int, seed: int) -> np.ndarray:
+def _cell_hash(i: np.ndarray, j: np.ndarray, salt: float) -> np.ndarray:
+    """Deterministic per-cell pseudo-random value in [0, 1) (shader-style
+    sine hash) — breaks the periodicity of the checker grid."""
+    return np.modf(
+        np.abs(np.sin(i * 12.9898 + j * 78.233 + salt) * 43758.5453)
+    )[0]
+
+
+def _texture(
+    u: np.ndarray, v: np.ndarray, label: int, seed: int, plane_id: int = 0
+) -> np.ndarray:
     """Procedural RGB texture over plane-local coordinates (meters).
 
     Mix of random Fourier features (smooth gradients for the learned
-    frontend) and a checker grid (strong corners for FAST/ORB). Returns
+    frontend) and a checker grid (strong corners for FAST/ORB), with
+    PER-CELL random brightness jitter and PER-PLANE seeds. The jitter
+    matters for realism: a purely periodic checker self-aliases —
+    descriptors repeat across the grid and across same-label planes, and
+    BoW place recognition "recognizes" every wall as every other wall
+    (false loop closures that no real indoor scene produces). Returns
     float RGB in [0, 1] with shape u.shape + (3,).
     """
-    rng = np.random.default_rng(seed * 7919 + label * 131)
+    rng = np.random.default_rng(seed * 7919 + label * 131 + plane_id * 6151)
     base = rng.uniform(0.25, 0.75, size=3)
     out = np.broadcast_to(base, u.shape + (3,)).copy()
     # Random Fourier features per channel
@@ -132,8 +147,14 @@ def _texture(u: np.ndarray, v: np.ndarray, label: int, seed: int) -> np.ndarray:
     # Checker grid with per-plane random phase — sharp corners everywhere
     cell = rng.uniform(0.18, 0.35)
     pu, pv = rng.uniform(0, 1, size=2)
-    checker = ((np.floor(u / cell + pu) + np.floor(v / cell + pv)) % 2.0) - 0.5
+    ci = np.floor(u / cell + pu)
+    cj = np.floor(v / cell + pv)
+    checker = ((ci + cj) % 2.0) - 0.5
     out += 0.22 * checker[..., None]
+    # Per-cell brightness jitter: makes every checker cell individually
+    # identifiable (de-aliases descriptors/BoW without losing corners).
+    salt = float(rng.uniform(0, 100))
+    out += (0.16 * (_cell_hash(ci, cj, salt) - 0.5))[..., None]
     # A sparser, bigger grid overlaid to create multi-scale structure
     cell2 = cell * 3.7
     checker2 = ((np.floor(u / cell2 + pv) + np.floor(v / cell2 + pu)) % 2.0) - 0.5
@@ -170,7 +191,7 @@ def render_frame(
     rgb = np.zeros((H, W, 3), dtype=np.float64)
     labels = np.full((H, W), CLASS_WALL, dtype=np.int32)
 
-    for plane in planes:
+    for plane_id, plane in enumerate(planes):
         a = plane.axis
         others = [i for i in range(3) if i != a]
         denom = dirs_world[..., a]
@@ -194,7 +215,8 @@ def render_frame(
         # carries its texture with it — keypoints move rigidly with the
         # body, not with the world.
         tex = _texture(
-            p0[hit] - plane.lo[0], p1[hit] - plane.lo[1], plane.label, seed
+            p0[hit] - plane.lo[0], p1[hit] - plane.lo[1], plane.label, seed,
+            plane_id=plane_id,
         )
         rgb[hit] = tex
         # depth is the camera-z of the hit point, not the ray length

@@ -204,7 +204,7 @@ class BowIndex:
     def __init__(
         self,
         num_words: int = 1024,
-        min_train_keyframes: int = 4,
+        min_train_keyframes: int = 12,
         vocab: jnp.ndarray | None = None,
     ):
         self.num_words = num_words
@@ -247,9 +247,15 @@ class BowIndex:
         num_new: int,
         min_score: float = 0.35,
         min_frame_gap: int = 30,
+        per_keyframe: int | None = 3,
     ):
         """Score the last ``num_new`` indexed keyframes against all OLDER
-        ones. Returns [(frame_new, frame_old, score)], best-first."""
+        ones. Returns [(frame_new, frame_old, score)], best-first.
+
+        ``per_keyframe`` keeps only each new keyframe's top-k partners:
+        one aliased new keyframe otherwise floods the candidate list with
+        near-identical pairs and starves the others' true loops out of
+        the downstream verification budget."""
         K = len(self.frame_ids)
         if K < 2 or num_new <= 0:
             return []
@@ -262,7 +268,11 @@ class BowIndex:
         for r in range(num_new):
             a = K - num_new + r
             ok = (fids[a] - fids[:a]) >= min_frame_gap
-            for b in np.nonzero(ok & (s[r, :a] >= min_score))[0]:
-                out.append((int(fids[a]), int(fids[b]), float(s[r, b])))
+            mine = [
+                (int(fids[a]), int(fids[b]), float(s[r, b]))
+                for b in np.nonzero(ok & (s[r, :a] >= min_score))[0]
+            ]
+            mine.sort(key=lambda t: -t[2])
+            out.extend(mine[:per_keyframe] if per_keyframe else mine)
         out.sort(key=lambda t: -t[2])
         return out

@@ -35,7 +35,7 @@ def _loop_edge_pose(
     min_inliers: int,
 ):
     """Measured Z = T_i^{-1} T_j from features (maps cam-j points into
-    cam-i). Returns (Z, num_inliers)."""
+    cam-i). Returns (Z, num_inliers, num_matches)."""
     m = matching.match_hamming(
         feats_j.desc, feats_i.desc, feats_j.valid, feats_i.valid, max_distance=64.0
     )
@@ -47,7 +47,7 @@ def _loop_edge_pose(
     result = pnp.ransac_pose(
         key, pts_j, pts_i, xy_i, cam, valid, num_hypotheses=128
     )
-    return result.pose, int(result.num_inliers)
+    return result.pose, int(result.num_inliers), int(m.count())
 
 
 def close_sequence_loops(
@@ -93,7 +93,8 @@ def close_sequence_loops(
 
     kf_pos = {int(f): k for k, f in enumerate(kf_idx)}
     raw_edges, accepted = verify_candidates(
-        candidates, features, cam, min_inliers, max_loops, seed=seed
+        candidates, features, cam, min_inliers, max_loops, seed=seed,
+        poses_wc=poses_wc,
     )
     edges = [
         (kf_pos[fi], kf_pos[fj], jnp.asarray(Z, jnp.float32), w)
@@ -130,19 +131,55 @@ def verify_candidates(
     min_inliers: int,
     max_loops: int,
     seed: int = 0,
+    poses_wc: np.ndarray | None = None,
+    min_inlier_ratio: float = 0.35,
+    max_correction_trans: float = 0.75,
+    max_correction_rot_deg: float = 30.0,
+    max_verify: int | None = None,
 ):
     """Geometric verification of BoW loop candidates. Returns
     (edges [(frame_i, frame_j, Z np(4,4), weight)], accepted
-    [(frame_i, frame_j, score)])."""
+    [(frame_i, frame_j, score)]).
+
+    Three gates (in the spirit of ORB-SLAM3's multi-stage loop
+    verification — RANSAC inliers, then consistency checks):
+
+    1. absolute inlier count (``min_inliers``);
+    2. inlier RATIO over the geometric matches (repetitive texture
+       produces many matches with a small self-consistent subset —
+       a low ratio is the aliasing signature);
+    3. odometry consistency (when ``poses_wc`` is given): the measured
+       loop transform may disagree with the current odometry estimate by
+       at most the plausible accumulated drift
+       (``max_correction_trans``/``rot``). Perceptual aliasing between
+       different walls implies wildly different relative poses (~90/180
+       deg) and is rejected here; true loop corrections are drift-sized.
+    """
+    if max_verify is None:
+        # Geometric verification is cheap (one jitted match+RANSAC per
+        # candidate); ACCEPTANCE is what max_loops bounds. Verifying only
+        # max_loops candidates lets high-scoring BoW false positives
+        # crowd a true loop out of the budget entirely.
+        max_verify = max(3 * max_loops, 12)
     key = jax.random.PRNGKey(seed)
     edges, accepted = [], []
-    for fi, fj, score in candidates[:max_loops]:
+    for fi, fj, score in candidates[:max_verify]:
+        if len(accepted) >= max_loops:
+            break
         key, sub = jax.random.split(key)
         feats_i = jax.tree.map(lambda x: x[fi], features)
         feats_j = jax.tree.map(lambda x: x[fj], features)
-        Z, inl = _loop_edge_pose(sub, feats_i, feats_j, cam, min_inliers)
-        if inl < min_inliers:
+        Z, inl, n_match = _loop_edge_pose(sub, feats_i, feats_j, cam, min_inliers)
+        if inl < min_inliers or inl < min_inlier_ratio * max(n_match, 1):
             continue
+        if poses_wc is not None:
+            Z_odo = np.linalg.inv(poses_wc[fi]) @ poses_wc[fj]
+            delta = np.asarray(Z, np.float64) @ np.linalg.inv(Z_odo)
+            dt = float(np.linalg.norm(delta[:3, 3]))
+            cos = (np.trace(delta[:3, :3]) - 1.0) / 2.0
+            dr = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+            if dt > max_correction_trans or dr > max_correction_rot_deg:
+                continue
         edges.append((fi, fj, np.asarray(Z), 5.0))
         accepted.append((fi, fj, score))
     return edges, accepted
@@ -180,7 +217,8 @@ def close_loops_incremental(
         num_new_keyframes, min_score=min_score, min_frame_gap=min_frame_gap
     )
     new_edges, accepted = verify_candidates(
-        candidates, features, cam, min_inliers, max_loops, seed=seed
+        candidates, features, cam, min_inliers, max_loops, seed=seed,
+        poses_wc=poses_wc,
     )
     edges = list(prev_edges) + new_edges
     if not new_edges:

@@ -83,6 +83,24 @@ def repeat_in_jit(fn: Callable, args: tuple, iters: int):
     return float(make_repeater(fn, iters)(jax.numpy.float32(_CALL_COUNTER[0]), args))
 
 
+def stage_cost(fn: Callable, args: tuple) -> Dict[str, float]:
+    """Analytic FLOP / byte counts for one jitted stage from XLA's own
+    cost model (`compiled.cost_analysis()`), for MFU/roofline accounting
+    alongside :func:`marginal_time_ms`. Returns {"flops": F, "bytes": B}
+    (zeros when the backend exposes no cost analysis)."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0) or 0.0)
+        byts = float(ca.get("bytes accessed", 0.0) or 0.0)
+        return {"flops": flops, "bytes": byts}
+    except Exception:
+        return {"flops": 0.0, "bytes": 0.0}
+
+
 def marginal_time_ms(
     fn: Callable, args: tuple, iters: int = 32, base_iters: int = 4
 ) -> Dict[str, float]:
