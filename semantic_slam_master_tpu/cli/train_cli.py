@@ -34,6 +34,19 @@ def _synthetic_pair_batches(cfg, split_seed: int):
             for f in frames
         ]
     )
+    # Localization-loss supervision: depth at the training resolution,
+    # intrinsics rescaled for the (anisotropic) resize, and GT relative
+    # poses — the same quantities a TUM pair batch carries.
+    depths = np.stack(
+        [
+            tum_mod.resize_nearest(f["depth"], size, size).astype(np.float32)
+            for f in frames
+        ]
+    )
+    h0, w0 = frames[0]["depth"].shape
+    K = np.asarray(seq.cam.scaled(size / w0, size / h0).K, np.float32)
+    poses = np.asarray(seq.poses_wc, np.float64)  # T_wc
+    inv = np.linalg.inv
 
     def batches(epoch=0):
         rng = np.random.default_rng(1000 * split_seed + epoch)
@@ -43,7 +56,17 @@ def _synthetic_pair_batches(cfg, split_seed: int):
         b = cfg.training.batch_size
         for start in range(0, len(idx) - b + 1, b):
             sel = idx[start : start + b]
-            yield {"rgb1": rgbs[sel], "rgb2": rgbs[sel + spacing]}
+            rel = np.stack(
+                [inv(poses[j + spacing]) @ poses[j] for j in sel]
+            ).astype(np.float32)
+            yield {
+                "rgb1": rgbs[sel],
+                "rgb2": rgbs[sel + spacing],
+                "depth1": depths[sel],
+                # Per-item K so the batch shards uniformly over 'data'.
+                "K": np.repeat(K[None], len(sel), axis=0),
+                "rel_pose": rel,
+            }
 
     return batches
 

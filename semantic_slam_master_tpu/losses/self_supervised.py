@@ -170,6 +170,77 @@ def spatial_sparsity_loss(
     return sparsity + penalty
 
 
+def localization_loss(
+    uv1: jnp.ndarray,
+    uv2_matched: jnp.ndarray,
+    valid: jnp.ndarray,
+    depth1: jnp.ndarray,
+    K: jnp.ndarray,
+    T_21: jnp.ndarray,
+    huber_delta: float = 4.0,
+    min_depth: float = 0.05,
+) -> jnp.ndarray:
+    """Warp-consistency localization loss (TPU-build extension).
+
+    The reference's loss stack is position-blind: keypoints are pinned to
+    16 px patch centers (`dino_backbone.py:154-165`) and no loss touches
+    *where* a keypoint lands, which is why its spacing-5 repeatability
+    collapses at the patch pitch. With sub-patch soft-argmax refinement
+    (`models/selector.refine_keypoints`) positions become continuous and
+    differentiable — this loss supplies the missing signal: warp each
+    refined frame-1 keypoint into frame 2 through its measured depth and
+    the pair's ground-truth relative pose (the same supervision the
+    reference already uses to *score* repeatability,
+    `test_repeatability.py:178-192`, here with full depth reprojection
+    instead of the rotation-only homography), and Huber-penalize the
+    pixel distance to its descriptor-matched frame-2 keypoint.
+
+    uv1: (B, K, 2) refined frame-1 pixel coords (differentiable).
+    uv2_matched: (B, K, 2) pixel coords of each keypoint's mutual-NN
+        match in frame 2 (differentiable).
+    valid: (B, K) match validity.
+    depth1: (B, H, W) metric depth for frame 1.
+    K: (3, 3) or (B, 3, 3) intrinsics at the training resolution.
+    T_21: (B, 4, 4) camera-2-from-camera-1 relative pose.
+    Returns mean Huber reprojection error in pixels over valid matches.
+    """
+    from ..ops.sampling import nearest_sample
+
+    B, Kn, _ = uv1.shape
+    H, W = depth1.shape[-2:]
+    d = nearest_sample(depth1, uv1)  # (B, K); grad-free in position
+    K = jnp.broadcast_to(jnp.asarray(K, uv1.dtype), (B, 3, 3))
+    Kinv_x = (uv1[..., 0] - K[:, None, 0, 2]) / K[:, None, 0, 0]
+    Kinv_y = (uv1[..., 1] - K[:, None, 1, 2]) / K[:, None, 1, 1]
+    X1 = jnp.stack([Kinv_x * d, Kinv_y * d, d], axis=-1)  # (B, K, 3)
+    R = T_21[:, :3, :3].astype(uv1.dtype)
+    t = T_21[:, :3, 3].astype(uv1.dtype)
+    X2 = jnp.einsum("bij,bkj->bki", R, X1) + t[:, None, :]
+    z2 = X2[..., 2]
+    z_safe = jnp.where(z2 > min_depth, z2, 1.0)
+    u2 = K[:, None, 0, 0] * X2[..., 0] / z_safe + K[:, None, 0, 2]
+    v2 = K[:, None, 1, 1] * X2[..., 1] / z_safe + K[:, None, 1, 2]
+    ok = (
+        valid
+        & (d > min_depth)
+        & (z2 > min_depth)
+        & (u2 >= 0.0)
+        & (u2 <= W - 1.0)
+        & (v2 >= 0.0)
+        & (v2 <= H - 1.0)
+    )
+    r = jnp.sqrt(
+        (u2 - uv2_matched[..., 0]) ** 2
+        + (v2 - uv2_matched[..., 1]) ** 2
+        + 1e-12
+    )
+    hub = jnp.where(
+        r < huber_delta, 0.5 * r**2 / huber_delta, r - 0.5 * huber_delta
+    )
+    ok_f = ok.astype(uv1.dtype)
+    return jnp.sum(hub * ok_f) / jnp.maximum(jnp.sum(ok_f), 1.0)
+
+
 class LossBundle(NamedTuple):
     total: jnp.ndarray
     components: Dict[str, jnp.ndarray]

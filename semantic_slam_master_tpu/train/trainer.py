@@ -124,10 +124,17 @@ def create_train_state(
     )
 
 
-def _forward_pair(model: LearnedFrontend, variables, rgb1, rgb2, cfg: Config):
+def _forward_pair(
+    model: LearnedFrontend, variables, rgb1, rgb2, cfg: Config, extras=None
+):
     """The reference's `_forward_pass` (`train.py:292-408`) as one pure
     function: features, saliency, fixed-K keypoints, descriptors,
-    mutual-NN matches, weighted loss bundle."""
+    mutual-NN matches, weighted loss bundle.
+
+    ``extras`` (optional): {'depth1': (B,H,W) m, 'K': (3,3)|(B,3,3),
+    'rel_pose': (B,4,4) T_2<-1} enables the warp-consistency
+    localization loss when ``subpatch_refine`` is on and
+    ``loss.weights.localization`` > 0."""
 
     def run(images, mutable):
         return model.apply(
@@ -193,9 +200,36 @@ def _forward_pair(model: LearnedFrontend, variables, rgb1, rgb2, cfg: Config):
     extra = (
         w.get("calibration", 0.3) * cal + w.get("expected_error", 0.02) * ee
     )
+    comps = {**bundle.components, "calibration": cal, "expected_error": ee}
+
+    # Warp-consistency localization (TPU-build extension; see
+    # losses.localization_loss). Only meaningful with sub-patch
+    # refinement — without it positions carry no gradient.
+    loc_w = w.get("localization", 0.0)
+    if loc_w and cfg.model.subpatch_refine and extras is not None:
+        from ..models.backbone import patch_to_pixel
+
+        ps = model.patch_size
+        uv1 = patch_to_pixel(xy1, ps)
+        uv2 = patch_to_pixel(xy2, ps)
+        uv2_matched = jnp.take_along_axis(
+            uv2, m.idx2[..., None], axis=1
+        )
+        loc = losses.localization_loss(
+            uv1,
+            uv2_matched,
+            conf_valid,
+            extras["depth1"],
+            extras["K"],
+            extras["rel_pose"],
+        )
+        loc = jnp.where(jnp.isfinite(loc), loc, 0.0)
+        extra = extra + loc_w * loc
+        comps["localization"] = loc
+
     bundle = losses.LossBundle(
         total=bundle.total + jnp.where(jnp.isfinite(extra), extra, 0.0),
-        components={**bundle.components, "calibration": cal, "expected_error": ee},
+        components=comps,
     )
     metrics = {
         "num_matches": jnp.mean(m.count().astype(jnp.float32)),
@@ -222,7 +256,10 @@ def make_train_step(
                 "params": merge_params(trainable, state.frozen),
                 "batch_stats": state.batch_stats,
             }
-            bundle, metrics, new_bs = _forward_pair(model, variables, rgb1, rgb2, cfg)
+            bundle, metrics, new_bs = _forward_pair(
+                model, variables, rgb1, rgb2, cfg,
+                extras=batch if "rel_pose" in batch else None,
+            )
             return bundle.total, (bundle, metrics, new_bs)
 
         (loss, (bundle, metrics, new_bs)), grads = jax.value_and_grad(
@@ -273,7 +310,8 @@ def make_eval_step(model: LearnedFrontend, cfg: Config, mesh=None):
             "batch_stats": state.batch_stats,
         }
         bundle, metrics, _ = _forward_pair(
-            model, variables, batch["rgb1"], batch["rgb2"], cfg
+            model, variables, batch["rgb1"], batch["rgb2"], cfg,
+            extras=batch if "rel_pose" in batch else None,
         )
         return {"loss": bundle.total, **bundle.components, **metrics}
 

@@ -147,3 +147,62 @@ def test_total_loss_weights_and_guards(rng):
     )
     assert np.isclose(float(bundle.total), manual, rtol=1e-5)
     assert np.isfinite(float(bundle.total))
+
+
+def test_localization_loss_zero_at_true_correspondence(rng):
+    """Perfect matches at the exact reprojection give ~zero loss; a
+    2-px perturbation gives a strictly positive one with a usable
+    gradient toward the true position."""
+    import jax
+
+    B, K = 2, 16
+    H = W = 64
+    fx = fy = 80.0
+    cx = cy = 32.0
+    Km = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
+
+    uv1 = jnp.asarray(
+        rng.uniform(8, 56, size=(B, K, 2)).astype(np.float32)
+    )
+    depth = jnp.full((B, H, W), 2.0, jnp.float32)
+
+    # Relative pose: small rotation + translation.
+    from semantic_slam_master_tpu.core import lie
+
+    tw = jnp.asarray([0.02, -0.01, 0.015, 0.05, -0.03, 0.02], jnp.float32)
+    T = lie.se3_exp(tw)
+    T21 = jnp.broadcast_to(T, (B, 4, 4))
+
+    # True correspondences by forward warp.
+    d = 2.0
+    x1 = (uv1[..., 0] - cx) / fx * d
+    y1 = (uv1[..., 1] - cy) / fy * d
+    X1 = jnp.stack([x1, y1, jnp.full_like(x1, d)], -1)
+    X2 = jnp.einsum("ij,bkj->bki", T[:3, :3], X1) + T[:3, 3]
+    uv2 = jnp.stack(
+        [
+            fx * X2[..., 0] / X2[..., 2] + cx,
+            fy * X2[..., 1] / X2[..., 2] + cy,
+        ],
+        -1,
+    )
+    valid = jnp.ones((B, K), bool)
+
+    loss0 = L.localization_loss(uv1, uv2, valid, depth, Km, T21)
+    assert float(loss0) < 1e-3
+
+    loss2 = L.localization_loss(uv1, uv2 + 2.0, valid, depth, Km, T21)
+    assert float(loss2) > 0.5  # ~2.8 px residual under Huber
+
+    # Gradient w.r.t. uv1 points the residual downhill (nonzero, finite).
+    g = jax.grad(
+        lambda u: L.localization_loss(u, uv2 + 2.0, valid, depth, Km, T21)
+    )(uv1)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 1e-4
+
+    # Invalid matches and holes (depth 0) are excluded -> loss 0.
+    lossm = L.localization_loss(
+        uv1, uv2 + 50.0, valid, jnp.zeros_like(depth), Km, T21
+    )
+    assert float(lossm) == 0.0

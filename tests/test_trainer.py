@@ -187,3 +187,34 @@ def test_estimator_receives_gradient(setup, rng):
     assert max(jax.tree.leaves(diffs)) > 0.0
     assert np.isfinite(float(out["calibration"]))
     assert np.isfinite(float(out["expected_error"]))
+
+
+def test_localization_loss_wired_through_train_step(rng):
+    """With subpatch_refine on + localization weight + pose/depth extras,
+    the train step reports a finite localization component and the
+    selector still receives gradient."""
+    cfg = tiny_config()
+    cfg.model.subpatch_refine = True
+    cfg.loss.weights = dict(cfg.loss.weights, localization=0.5)
+    mesh = mesh_lib.make_mesh()
+    model, state = trainer.create_train_state(cfg, steps_per_epoch=2)
+    state = mesh_lib.replicate(mesh, state)
+    tx = trainer.build_optimizer(cfg, 2)
+    step = trainer.make_train_step(model, cfg, tx, mesh)
+
+    b, size = 8, 64
+    batch = {
+        "rgb1": rng.normal(size=(b, size, size, 3)).astype(np.float32),
+        "rgb2": rng.normal(size=(b, size, size, 3)).astype(np.float32),
+        "depth1": np.full((b, size, size), 2.0, np.float32),
+        "K": np.repeat(
+            np.array([[[80.0, 0, 32], [0, 80, 32], [0, 0, 1]]], np.float32),
+            b, axis=0,
+        ),
+        "rel_pose": np.repeat(np.eye(4, dtype=np.float32)[None], b, axis=0),
+    }
+    batch = mesh_lib.shard_batch(mesh, batch)
+    state2, out = step(state, batch)
+    assert "localization" in out
+    assert np.isfinite(float(out["localization"]))
+    assert np.isfinite(float(out["loss"]))
