@@ -50,18 +50,23 @@ def _synthetic_pair_batches(cfg, split_seed: int):
 
     def batches(epoch=0):
         rng = np.random.default_rng(1000 * split_seed + epoch)
-        spacing = cfg.dataset.frame_spacing
-        idx = np.arange(len(frames) - spacing)
+        s_lo = cfg.dataset.frame_spacing
+        s_hi = cfg.dataset.frame_spacing_max or s_lo
+        idx = np.arange(len(frames) - s_hi)
         rng.shuffle(idx)
         b = cfg.training.batch_size
         for start in range(0, len(idx) - b + 1, b):
             sel = idx[start : start + b]
+            # Per-item spacing: wide baselines are what teach sub-patch
+            # localization (a patch-center match is off by several px at
+            # spacing 5, well past the 3 px repeatability tolerance).
+            sp = rng.integers(s_lo, s_hi + 1, size=len(sel))
             rel = np.stack(
-                [inv(poses[j + spacing]) @ poses[j] for j in sel]
+                [inv(poses[j + s]) @ poses[j] for j, s in zip(sel, sp)]
             ).astype(np.float32)
             yield {
                 "rgb1": rgbs[sel],
-                "rgb2": rgbs[sel + spacing],
+                "rgb2": rgbs[sel + sp],
                 "depth1": depths[sel],
                 # Per-item K so the batch shards uniformly over 'data'.
                 "K": np.repeat(K[None], len(sel), axis=0),

@@ -179,6 +179,7 @@ def localization_loss(
     T_21: jnp.ndarray,
     huber_delta: float = 4.0,
     min_depth: float = 0.05,
+    max_residual: float | None = None,
 ) -> jnp.ndarray:
     """Warp-consistency localization loss (TPU-build extension).
 
@@ -186,7 +187,7 @@ def localization_loss(
     16 px patch centers (`dino_backbone.py:154-165`) and no loss touches
     *where* a keypoint lands, which is why its spacing-5 repeatability
     collapses at the patch pitch. With sub-patch soft-argmax refinement
-    (`models/selector.refine_keypoints`) positions become continuous and
+    (`models/frontend.OffsetHead`) positions become continuous and
     differentiable — this loss supplies the missing signal: warp each
     refined frame-1 keypoint into frame 2 through its measured depth and
     the pair's ground-truth relative pose (the same supervision the
@@ -234,6 +235,12 @@ def localization_loss(
         + (v2 - uv2_matched[..., 1]) ** 2
         + 1e-12
     )
+    if max_residual is not None:
+        # Descriptor mismatches produce arbitrarily large residuals whose
+        # Huber-linear gradients drown the sub-patch signal (true
+        # correspondence errors are bounded by flow + one patch pitch);
+        # exclude them instead of averaging them in.
+        ok = ok & (r < max_residual)
     hub = jnp.where(
         r < huber_delta, 0.5 * r**2 / huber_delta, r - 0.5 * huber_delta
     )

@@ -19,7 +19,7 @@ from ..ops.sampling import bilinear_sample
 from . import backbone as backbone_mod
 from .backbone import ViTBackbone, patch_to_pixel
 from .refiner import DescriptorRefiner
-from .selector import KeypointSelector, refine_keypoints, select_keypoints
+from .selector import KeypointSelector, select_keypoints
 from .uncertainty import UncertaintyEstimator
 
 
@@ -32,6 +32,32 @@ class FrontendOutput(NamedTuple):
     valid: jnp.ndarray  # (B, K)
     saliency: jnp.ndarray  # (B, H, W, 1) full map
     features: jnp.ndarray  # (B, H, W, C) backbone grid
+
+
+class OffsetHead(nn.Module):
+    """Sub-patch keypoint offset regression (TPU-build extension).
+
+    Predicts a continuous (dx, dy) in patch units from the keypoint's
+    backbone feature + its 3x3 saliency neighbourhood. Supervised by the
+    warp-consistency localization loss ONLY (descriptors sample patch
+    centers), so — unlike a saliency soft-argmax, whose offsets the
+    descriptor loss can silently kill by saturating the saliency map
+    (measured: mean saliency 0.42 -> 0.90, repeatability 0.96 -> 0.13)
+    — there is no competing gradient pressure on the map. Zero-init
+    final layer: training starts exactly at the reference's
+    patch-center behaviour and grows offsets as localization improves.
+    """
+
+    hidden_dim: int = 64
+    max_offset: float = 1.0  # patch units; offsets stay within +/-1 patch
+
+    @nn.compact
+    def __call__(self, local_feats: jnp.ndarray, sal_patch: jnp.ndarray):
+        x = jnp.concatenate([local_feats, sal_patch], axis=-1)
+        x = nn.gelu(nn.Dense(self.hidden_dim)(x))
+        x = nn.gelu(nn.Dense(self.hidden_dim)(x))
+        off = nn.Dense(2, kernel_init=nn.initializers.zeros)(x)
+        return jnp.tanh(off) * self.max_offset
 
 
 class LearnedFrontend(nn.Module):
@@ -52,12 +78,13 @@ class LearnedFrontend(nn.Module):
     estimator_hidden: int = 128
     num_keypoints: int = 500
     nms_radius: int = 2
-    # Soft-argmax sub-patch keypoint positions (selector.refine_keypoints).
-    # Off by default: a model trained WITHOUT it has no gradient pressure
-    # to make saliency centroids localize, and enabling it post-hoc
-    # measurably hurts (repeatability@1 0.96 -> 0.71 on the tiny synthetic
-    # checkpoint). Train with it on (`model.subpatch_refine: true`) to let
-    # the loss shape saliency into a localizer.
+    # Learned sub-patch keypoint positions (OffsetHead + refine_at),
+    # supervised by losses.localization_loss. Off by default: a model
+    # trained without it has no offset-head parameters. (An earlier
+    # saliency soft-argmax design — selector.refine_keypoints — is kept
+    # as a parameter-free alternative, but training it end-to-end
+    # collapses: the descriptor loss saturates the saliency map to zero
+    # the offsets out; see OffsetHead's docstring.)
     subpatch_refine: bool = False
     dtype: Any = jnp.bfloat16
 
@@ -77,6 +104,7 @@ class LearnedFrontend(nn.Module):
             num_layers=self.refiner_layers,
         )
         self.estimator = UncertaintyEstimator(hidden_dim=self.estimator_hidden)
+        self.offset_head = OffsetHead(hidden_dim=self.estimator_hidden)
 
     def features_and_saliency(self, images, train: bool = False):
         """Backbone grid + saliency map (the trainable-path prefix)."""
@@ -87,6 +115,25 @@ class LearnedFrontend(nn.Module):
             jnp.isfinite(saliency), saliency, jnp.full_like(saliency, 0.5)
         )
         return feats, saliency
+
+    def refine_at(self, feats, saliency, keypoints_patch):
+        """Learned sub-patch positions: patch-center coords + OffsetHead
+        offsets from the local feature + 3x3 saliency context."""
+        from ..ops.sampling import nearest_sample
+
+        sal = saliency[..., 0] if saliency.ndim == 4 else saliency
+        neigh = jnp.stack(
+            [
+                nearest_sample(
+                    sal, keypoints_patch + jnp.asarray([dx, dy], keypoints_patch.dtype)
+                )
+                for dy in (-1.0, 0.0, 1.0)
+                for dx in (-1.0, 0.0, 1.0)
+            ],
+            axis=-1,
+        )  # (B, K, 9)
+        local = bilinear_sample(feats, keypoints_patch)
+        return keypoints_patch + self.offset_head(local, neigh)
 
     def describe_at(self, feats, keypoints_patch):
         """Bilinear feature sampling + descriptor refinement at given
@@ -102,12 +149,15 @@ class LearnedFrontend(nn.Module):
         kp = select_keypoints(
             saliency, num_keypoints=self.num_keypoints, nms_radius=self.nms_radius
         )
+        # Geometric coords get learned sub-patch offsets; descriptors
+        # (next line) sample patch CENTERS so the descriptor loss exerts
+        # no pressure on the offsets (see OffsetHead).
         xy = (
-            refine_keypoints(saliency, kp.xy)
+            self.refine_at(feats, saliency, kp.xy)
             if self.subpatch_refine
             else kp.xy
         )
-        _, desc, conf = self.describe_at(feats, xy)
+        _, desc, conf = self.describe_at(feats, kp.xy)
         return FrontendOutput(
             keypoints_px=patch_to_pixel(xy, self.patch_size),
             keypoints_patch=xy,

@@ -124,20 +124,59 @@ class Keypoints(NamedTuple):
     valid: jnp.ndarray
 
 
+def refine_subpixel(score_map: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Sub-pixel keypoint positions by separable parabolic fit on the
+    detector response (TPU-build extension; integer-grid positions are
+    the reference baselines' behaviour).
+
+    For each keypoint, fit a 1-D parabola through the response at
+    (x-1, x, x+1) (and likewise in y) and move to its apex, clamped to
+    +/-0.5 px. The NMS guarantees the centre is a local max, so the
+    curvature is non-positive; degenerate (flat) fits keep the integer
+    position. Descriptor sampling still rounds to the pixel grid
+    (`orb.describe`), so this sharpens only the *geometric* coordinates
+    that PnP/triangulation/BA consume.
+
+    score_map: (B, H, W) raw detector response (pre-NMS).
+    xy: (B, N, 2) integer-valued float pixel coords.
+    Returns refined (B, N, 2) float coords.
+    """
+    from .sampling import nearest_sample
+
+    def axis_offset(sm, sc, sp):
+        denom = sm + sp - 2.0 * sc
+        off = jnp.where(denom < -1e-12, (sm - sp) / (2.0 * denom), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    e = jnp.asarray([1.0, 0.0], xy.dtype)
+    n = jnp.asarray([0.0, 1.0], xy.dtype)
+    sc = nearest_sample(score_map, xy)
+    dx = axis_offset(
+        nearest_sample(score_map, xy - e), sc, nearest_sample(score_map, xy + e)
+    )
+    dy = axis_offset(
+        nearest_sample(score_map, xy - n), sc, nearest_sample(score_map, xy + n)
+    )
+    return xy + jnp.stack([dx, dy], axis=-1)
+
+
 def detect(
     gray: jnp.ndarray,
     num_keypoints: int,
     threshold: float = 0.08,
     nms_radius: int = 3,
     margin: int = 16,
+    subpixel: bool = False,
 ) -> Keypoints:
     """FAST keypoints with NMS and fixed-K top-k selection.
 
     ``margin`` should cover the descriptor patch radius (ORB uses 31x31
     patches -> margin >= 16 keeps descriptor sampling in-bounds).
+    ``subpixel`` applies `refine_subpixel` to the returned coordinates.
     """
     B, H, W = gray.shape
     score = fast_score(gray, threshold)
+    raw_score = score
     # NMS with LEXICOGRAPHIC (score, index) tie-breaking: keep local
     # maxima, and among exact-score ties within one NMS window keep only
     # the highest flat index. Exact ties happen on textured plateaus, and
@@ -207,4 +246,7 @@ def detect(
         )
     ys = (indices // W).astype(jnp.float32)
     xs = (indices % W).astype(jnp.float32)
-    return Keypoints(xy=jnp.stack([xs, ys], axis=-1), score=values, valid=valid)
+    xy = jnp.stack([xs, ys], axis=-1)
+    if subpixel:
+        xy = refine_subpixel(raw_score, xy)
+    return Keypoints(xy=xy, score=values, valid=valid)

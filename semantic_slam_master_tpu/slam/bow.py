@@ -242,6 +242,25 @@ class BowIndex:
             self.frame_ids.append(fid)
         self._buffer.clear()
 
+    def force_train(self) -> bool:
+        """Train the vocabulary NOW from whatever has been buffered,
+        ignoring ``min_train_keyframes`` (end-of-stream path for
+        sequences too short to reach the normal training corpus — the
+        12-keyframe threshold otherwise leaves short runs with no
+        vocabulary and therefore no loop closure at all). Returns True
+        if a vocabulary exists afterwards."""
+        if self.vocab is None and self._buffer:
+            corpus = np.concatenate([d[v] for d, v, _ in self._buffer])
+            if len(corpus) >= 64:
+                num_words = int(
+                    min(self.num_words, max(64, len(corpus) // 4))
+                )
+                self.vocab = train_vocabulary(
+                    jnp.asarray(corpus), num_words=num_words
+                )
+        self._drain()
+        return self.vocab is not None
+
     def new_candidates(
         self,
         num_new: int,

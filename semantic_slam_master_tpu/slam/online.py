@@ -60,6 +60,46 @@ def _apply_correction(
     )
 
 
+def _closing_pass(
+    index, features, cam, cfg, state, T_prev, poses, is_kf,
+    edges, accepted, scored,
+    min_score, min_frame_gap, min_inliers, max_loops_per_pass,
+):
+    """One incremental loop-closing pass over the keyframes indexed since
+    ``scored``; applies any accepted correction to the active map (rigid
+    re-anchor + `system.refine_active_map`, the post-closure GBA
+    analogue). Mutates ``edges``/``accepted`` in place; returns the
+    updated (state, T_prev, poses, scored)."""
+    num_new = len(index.frame_ids) - scored
+    hist_poses = np.stack(poses)
+    hist_kf = np.asarray(is_kf, bool)
+    corrected, loops, new_edges = loop_closing.close_loops_incremental(
+        index,
+        hist_poses,
+        features,
+        hist_kf,
+        num_new,
+        cam,
+        prev_edges=edges,
+        min_score=min_score,
+        min_frame_gap=min_frame_gap,
+        min_inliers=min_inliers,
+        max_loops=max_loops_per_pass,
+    )
+    scored = len(index.frame_ids)
+    if loops:
+        edges.extend(new_edges)
+        delta = corrected[-1] @ np.linalg.inv(hist_poses[-1])
+        state, T_prev = _apply_correction(state, T_prev, delta)
+        # Post-loop refinement: re-triangulate the active map's
+        # landmarks against the corrected window and deep-BA it —
+        # the GBA step ORB-SLAM3 runs after closure.
+        state = system.refine_active_map(state, cam, cfg)
+        poses = list(corrected)
+        accepted.extend(loops)
+    return state, T_prev, poses, scored
+
+
 def run_slam_online(
     key: jax.Array,
     features: FrameFeatures,
@@ -147,33 +187,23 @@ def run_slam_online(
                     np.asarray(features.valid[f]),
                     f,
                 )
-        num_new = len(index.frame_ids) - scored
-        hist_poses = np.stack(poses)
-        hist_kf = np.asarray(is_kf, bool)
-        corrected, loops, new_edges = loop_closing.close_loops_incremental(
-            index,
-            hist_poses,
-            features,
-            hist_kf,
-            num_new,
-            cam,
-            prev_edges=edges,
-            min_score=min_score,
-            min_frame_gap=min_frame_gap,
-            min_inliers=min_inliers,
-            max_loops=max_loops_per_pass,
+        state, T_prev, poses, scored = _closing_pass(
+            index, features, cam, cfg, state, T_prev, poses, is_kf,
+            edges, accepted, scored,
+            min_score, min_frame_gap, min_inliers, max_loops_per_pass,
         )
-        scored = len(index.frame_ids)
-        if loops:
-            edges.extend(new_edges)
-            delta = corrected[-1] @ np.linalg.inv(hist_poses[-1])
-            state, T_prev = _apply_correction(state, T_prev, delta)
-            # Post-loop refinement: re-triangulate the active map's
-            # landmarks against the corrected window and deep-BA it —
-            # the GBA step ORB-SLAM3 runs after closure.
-            state = system.refine_active_map(state, cam, cfg)
-            poses = list(corrected)
-            accepted.extend(loops)
+
+    if enable_loop_closure and index.vocab is None:
+        # Sequence ended before the vocabulary's normal training corpus
+        # (min_train_keyframes) accumulated — train on what there is and
+        # run one final closing pass, so short sequences still close
+        # their loops (offline-equivalent end-of-stream behaviour).
+        if index.force_train():
+            state, T_prev, poses, scored = _closing_pass(
+                index, features, cam, cfg, state, T_prev, poses, is_kf,
+                edges, accepted, scored,
+                min_score, min_frame_gap, min_inliers, max_loops_per_pass,
+            )
 
     out = SlamOutput(
         poses_wc=jnp.asarray(np.stack(poses), jnp.float32),

@@ -70,6 +70,7 @@ def extract_features(
     weight_map: jnp.ndarray | None = None,
     num_levels: int = 4,
     scale_factor: float = 1.2,
+    subpixel: bool = True,
 ) -> FrameFeatures:
     """Batched multi-scale ORB frontend: (F, H, W) gray + depth ->
     FrameFeatures.
@@ -97,7 +98,10 @@ def extract_features(
     xys, descs, scores, valids = [], [], [], []
     H0, W0 = gray.shape[1:]
     for lvl, (img, quota) in enumerate(zip(levels, quotas)):
-        kp = fast.detect(img, int(quota), threshold, nms_radius)
+        # Sub-pixel geometric coordinates (fast.refine_subpixel) sharpen
+        # PnP/BA residuals; descriptors still sample the pixel grid.
+        kp = fast.detect(img, int(quota), threshold, nms_radius,
+                         subpixel=subpixel)
         blurred = image.gaussian_blur(img, sigma=2.0, radius=3)
         desc = orb.describe(blurred, kp.xy, prefiltered=True)
         # Map to level-0 pixels via the ACTUAL resize ratio (shapes are

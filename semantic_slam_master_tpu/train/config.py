@@ -32,8 +32,8 @@ class ModelConfig:
     # Canonical pos-embed grid (param resolution; resized to the input's
     # patch grid at apply time, models/backbone.py).
     backbone_pos_grid: int = 28
-    # Sub-patch soft-argmax keypoint refinement (selector.refine_keypoints);
-    # train with it on so saliency learns to localize.
+    # Learned sub-patch keypoint offsets (models.frontend.OffsetHead);
+    # train with it on + loss.weights.localization > 0.
     subpatch_refine: bool = False
 
 
@@ -67,6 +67,12 @@ class DatasetConfig:
         ]
     )
     frame_spacing: int = 1
+    # TPU-build extension: when set (> frame_spacing), each training
+    # pair samples its spacing uniformly from
+    # [frame_spacing, frame_spacing_max] — wider baselines make
+    # patch-center-only localization expensive, forcing the sub-patch
+    # soft-argmax to learn real offsets (see localization_loss).
+    frame_spacing_max: Optional[int] = None
     max_frames: Optional[int] = None
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
     # TPU-build extension: use the synthetic world instead of TUM on disk.

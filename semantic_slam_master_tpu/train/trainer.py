@@ -36,12 +36,12 @@ import optax
 from ..losses import self_supervised as losses
 from ..models import uncertainty
 from ..models.frontend import LearnedFrontend
-from ..models.selector import refine_keypoints, select_keypoints
+from ..models.selector import select_keypoints
 from ..ops import matching
 from ..parallel import mesh as mesh_lib, tp
 from .config import Config
 
-TRAINABLE = ("selector", "refiner", "estimator")
+TRAINABLE = ("selector", "refiner", "estimator", "offset_head")
 TRAINABLE_WITH_BACKBONE = TRAINABLE + ("backbone",)
 
 
@@ -157,16 +157,20 @@ def _forward_pair(
     kp2 = select_keypoints(sal2, cfg.model.num_keypoints)
     xy1, xy2 = kp1.xy, kp2.xy
     if cfg.model.subpatch_refine:
-        # Differentiable: descriptor gradients flow into the saliency
-        # neighborhood through the soft-argmax, teaching it to localize.
-        xy1 = refine_keypoints(sal1, xy1)
-        xy2 = refine_keypoints(sal2, xy2)
+        # OffsetHead positions, trained ONLY by localization_loss below;
+        # descriptors sample patch centers (see models.frontend).
+        xy1 = model.apply(
+            vars3, feats1, sal1, kp1.xy, method=LearnedFrontend.refine_at
+        )
+        xy2 = model.apply(
+            vars3, feats2, sal2, kp2.xy, method=LearnedFrontend.refine_at
+        )
 
     _, desc1, conf1 = model.apply(
-        vars3, feats1, xy1, method=LearnedFrontend.describe_at
+        vars3, feats1, kp1.xy, method=LearnedFrontend.describe_at
     )
     _, desc2, _ = model.apply(
-        vars3, feats2, xy2, method=LearnedFrontend.describe_at
+        vars3, feats2, kp2.xy, method=LearnedFrontend.describe_at
     )
 
     m = matching.match_cosine(desc1, desc2, kp1.valid, kp2.valid, ratio=None)
@@ -222,6 +226,9 @@ def _forward_pair(
             extras["depth1"],
             extras["K"],
             extras["rel_pose"],
+            # True correspondence error is bounded by flow + one patch
+            # pitch; larger residuals are descriptor mismatches.
+            max_residual=8.0,
         )
         loc = jnp.where(jnp.isfinite(loc), loc, 0.0)
         extra = extra + loc_w * loc

@@ -118,3 +118,34 @@ def test_plateau_ties_spread_survivors(rng):
     d = np.linalg.norm(xy[:, None] - xy[None], axis=-1)
     np.fill_diagonal(d, 1e9)
     assert d.min() >= 4.0, d.min()
+
+
+def test_refine_subpixel_recovers_quadratic_peak():
+    """An exact quadratic bump's fractional apex is recovered exactly by
+    the parabolic fit; flat responses keep the integer position."""
+    H = W = 32
+    true = np.array([14.3, 17.6])
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    s = np.maximum(
+        10.0 - (xx - true[0]) ** 2 - (yy - true[1]) ** 2, 0.0
+    )[None].astype(np.float32)
+    xy = jnp.asarray([[[14.0, 18.0]]], jnp.float32)  # nearest grid point
+    refined = np.asarray(fast.refine_subpixel(jnp.asarray(s), xy))[0, 0]
+    assert np.allclose(refined, true, atol=1e-5)
+
+    flat = jnp.zeros((1, H, W), jnp.float32)
+    kept = np.asarray(fast.refine_subpixel(flat, xy))[0, 0]
+    assert np.allclose(kept, [14.0, 18.0])
+
+
+def test_detect_subpixel_stays_near_integer_and_matches_base():
+    """subpixel=True returns the same keypoint set shifted by <= 0.5 px
+    per axis, same scores/validity."""
+    rng = np.random.default_rng(3)
+    img = rng.uniform(size=(1, 64, 64)).astype(np.float32)
+    base = fast.detect(jnp.asarray(img), 32, threshold=0.05)
+    sub = fast.detect(jnp.asarray(img), 32, threshold=0.05, subpixel=True)
+    assert np.array_equal(np.asarray(base.valid), np.asarray(sub.valid))
+    assert np.allclose(np.asarray(base.score), np.asarray(sub.score))
+    d = np.abs(np.asarray(sub.xy) - np.asarray(base.xy))
+    assert d.max() <= 0.5 + 1e-6

@@ -186,3 +186,41 @@ def test_refine_keypoints_moves_toward_offset_peak():
     assert ref[0, 1, 0] > 5.05 and ref[0, 1, 0] < 6.0  # pulled toward x=6
     assert abs(ref[0, 1, 1] - 5.0) < 0.05  # not in y
     assert ref[0, 2, 0] >= 0.0 and ref[0, 2, 1] >= 0.0  # border clamped
+
+
+def test_offset_head_zero_init_and_bounded():
+    """refine_at starts exactly at patch centers (zero-init head) and
+    offsets stay within +/- max_offset patches after perturbation."""
+    import jax
+    from semantic_slam_master_tpu.models.frontend import tiny_frontend, LearnedFrontend
+
+    model = tiny_frontend(subpatch_refine=True)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+
+    out = model.apply(variables, imgs)
+    feats, sal = model.apply(
+        variables, imgs, method=LearnedFrontend.features_and_saliency
+    )
+    from semantic_slam_master_tpu.models.selector import select_keypoints
+
+    kp = select_keypoints(sal, model.num_keypoints)
+    refined = model.apply(
+        variables, feats, sal, kp.xy, method=LearnedFrontend.refine_at
+    )
+    # zero-init final layer -> offsets exactly zero at init
+    assert np.allclose(np.asarray(refined), np.asarray(kp.xy))
+
+    # perturb the head's output kernel -> nonzero but bounded offsets
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+    leaf = params["offset_head"]["Dense_2"]
+    leaf["kernel"] = jnp.ones_like(leaf["kernel"]) * 0.5
+    leaf["bias"] = jnp.ones_like(leaf["bias"]) * 0.3
+    v2 = {**variables, "params": flax.core.freeze(params)}
+    refined2 = model.apply(v2, feats, sal, kp.xy, method=LearnedFrontend.refine_at)
+    d = np.abs(np.asarray(refined2) - np.asarray(kp.xy))
+    assert d.max() > 1e-4
+    assert d.max() <= 1.0 + 1e-6

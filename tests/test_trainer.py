@@ -214,7 +214,18 @@ def test_localization_loss_wired_through_train_step(rng):
         "rel_pose": np.repeat(np.eye(4, dtype=np.float32)[None], b, axis=0),
     }
     batch = mesh_lib.shard_batch(mesh, batch)
+    before = jax.tree.map(
+        lambda x: np.asarray(x).copy(),
+        jax.device_get(state.trainable["offset_head"]),
+    )
     state2, out = step(state, batch)
     assert "localization" in out
     assert np.isfinite(float(out["localization"]))
     assert np.isfinite(float(out["loss"]))
+    # The offset head must be IN the trainable partition and receive
+    # gradient from the localization loss (it has no other signal).
+    after = jax.device_get(state2.trainable["offset_head"])
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), after, before
+    )
+    assert max(jax.tree.leaves(diffs)) > 0.0
