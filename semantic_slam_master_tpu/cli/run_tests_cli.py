@@ -77,7 +77,9 @@ def main(argv=None):
             "params": trainer.merge_params(state.trainable, state.frozen),
             "batch_stats": state.batch_stats,
         }
-        adapter = frontend_tests.learned_adapter(model, variables)
+        adapter = frontend_tests.learned_adapter(
+            model, variables, input_size=cfg.model.input_size
+        )
 
     # ---- sequence sources ----
     seqs = {}

@@ -157,7 +157,7 @@ def pyramid_orb_adapter(
 
 def learned_adapter(
     model, variables, ratio: float = 0.9, min_similarity: float | None = None,
-    normalized: bool = False,
+    normalized: bool = False, input_size: int | None = None,
 ) -> FrontendAdapter:
     """A trained LearnedFrontend as an adapter (cosine matching with the
     reference's mutual-NN + ratio semantics).
@@ -165,7 +165,16 @@ def learned_adapter(
     ``normalized``: set when inputs are already ImageNet-normalized;
     otherwise raw [0, 1] RGB is normalized here — the model is trained
     on normalized input (`tum_dataset.py:88-95` semantics) and feeding
-    it raw RGB silently zeroes every acceptance metric."""
+    it raw RGB silently zeroes every acceptance metric.
+
+    ``input_size``: evaluate at the model's training resolution — frames
+    are (anisotropically) resized to (input_size, input_size) before
+    extraction and keypoints mapped back to native pixels. This is the
+    REFERENCE'S evaluation contract (its test scripts consume TUMDataset
+    tensors already resized to the 448x448 training shape,
+    `test_repeatability.py:39-57`, `tum_dataset.py:88-95`); feeding a
+    resolution the model never trained at shifts the BatchNorm'd feature
+    statistics the OffsetHead consumes and degrades sub-patch offsets."""
     import jax
     import jax.numpy as jnp
 
@@ -178,12 +187,27 @@ def learned_adapter(
         std = jnp.asarray([0.229, 0.224, 0.225], x.dtype)
         return (x - mean) / std
 
-    apply = jax.jit(lambda v, x: model.apply(v, _norm(x)))
+    def _run(v, x):
+        if input_size is not None:
+            x = jax.image.resize(
+                x, (x.shape[0], input_size, input_size, x.shape[3]),
+                method="bilinear",
+            )
+        return model.apply(v, _norm(x))
+
+    apply = jax.jit(_run)
 
     def extract(rgb: np.ndarray) -> Dict[str, np.ndarray]:
         out = apply(variables, jnp.asarray(rgb))
+        xy = np.asarray(out.keypoints_px)
+        if input_size is not None:
+            H, W = rgb.shape[1:3]
+            xy = xy * np.asarray(
+                [(W - 1) / (input_size - 1), (H - 1) / (input_size - 1)],
+                xy.dtype,
+            )
         return {
-            "xy": np.asarray(out.keypoints_px),
+            "xy": xy,
             "desc": np.asarray(out.descriptors),
             "valid": np.asarray(out.valid),
             "scores": np.asarray(out.scores),
@@ -207,7 +231,14 @@ def learned_adapter(
         from ..models.frontend import LearnedFrontend
         from ..models.selector import select_keypoints
 
-        imgs = _norm(jnp.asarray(rgb))
+        imgs = jnp.asarray(rgb)
+        if input_size is not None:
+            imgs = jax.image.resize(
+                imgs,
+                (imgs.shape[0], input_size, input_size, imgs.shape[3]),
+                method="bilinear",
+            )
+        imgs = _norm(imgs)
         feats, sal = model.apply(
             variables, imgs, method=LearnedFrontend.features_and_saliency
         )

@@ -35,29 +35,65 @@ class FrontendOutput(NamedTuple):
 
 
 class OffsetHead(nn.Module):
-    """Sub-patch keypoint offset regression (TPU-build extension).
+    """Soft-argmax sub-patch keypoint localization (TPU-build extension).
 
-    Predicts a continuous (dx, dy) in patch units from the keypoint's
-    backbone feature + its 3x3 saliency neighbourhood. Supervised by the
-    warp-consistency localization loss ONLY (descriptors sample patch
-    centers), so — unlike a saliency soft-argmax, whose offsets the
-    descriptor loss can silently kill by saturating the saliency map
-    (measured: mean saliency 0.42 -> 0.90, repeatability 0.96 -> 0.13)
-    — there is no competing gradient pressure on the map. Zero-init
-    final layer: training starts exactly at the reference's
-    patch-center behaviour and grows offsets as localization improves.
+    Scores every pixel of the keypoint's intensity window with a small
+    conv stack (modulated by the ViT token + 3x3 saliency context) and
+    returns the softmax-expected position relative to the window center,
+    in window pixels. Shift-EQUIVARIANT by construction: translating the
+    window content translates the score map and hence the expectation
+    one-for-one, so training only has to learn WHAT structure to lock
+    onto, not equivariance itself. Two direct-regression designs are
+    recorded negative results: an MLP on the ViT token + saliency
+    context trained to a CONSTANT offset (sub-patch position is a phase
+    the token may discard), and an MLP on the flattened raw intensities
+    stayed near-constant too (offset std 0.19 px, matched residual ==
+    GT flow) — a Dense head must learn shift-equivariance from data,
+    which this recipe's ~2k steps don't provide.
+
+    Supervised by the warp-consistency localization loss ONLY
+    (descriptors sample patch centers), so — unlike a saliency
+    soft-argmax, whose offsets the descriptor loss can silently kill by
+    saturating the saliency map (measured: mean saliency 0.42 -> 0.90,
+    repeatability 0.96 -> 0.13) — there is no competing gradient
+    pressure. Zero-init final conv: uniform scores -> the expectation
+    sits exactly at the window center -> training starts at the
+    reference's patch-center behaviour.
     """
 
-    hidden_dim: int = 64
-    max_offset: float = 1.0  # patch units; offsets stay within +/-1 patch
+    hidden_dim: int = 16
+    temperature: float = 0.5
 
     @nn.compact
-    def __call__(self, local_feats: jnp.ndarray, sal_patch: jnp.ndarray):
-        x = jnp.concatenate([local_feats, sal_patch], axis=-1)
-        x = nn.gelu(nn.Dense(self.hidden_dim)(x))
-        x = nn.gelu(nn.Dense(self.hidden_dim)(x))
-        off = nn.Dense(2, kernel_init=nn.initializers.zeros)(x)
-        return jnp.tanh(off) * self.max_offset
+    def __call__(
+        self,
+        pixel_patch: jnp.ndarray,
+        local_feats: jnp.ndarray,
+        sal_patch: jnp.ndarray,
+    ):
+        """pixel_patch: (B, K, P, P) per-window-standardized intensities.
+        Returns (B, K, 2) expected (dx, dy) in window pixels, intrinsically
+        bounded to +/-(P-1)/2."""
+        B, K, P, _ = pixel_patch.shape
+        x = pixel_patch.reshape(B * K, P, P, 1)
+        ctx = jnp.concatenate(
+            [
+                local_feats.astype(jnp.float32),
+                sal_patch.astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        ctx = nn.Dense(self.hidden_dim)(ctx).reshape(B * K, 1, 1, self.hidden_dim)
+        x = nn.gelu(nn.Conv(self.hidden_dim, (3, 3))(x) + ctx)
+        x = nn.gelu(nn.Conv(self.hidden_dim, (3, 3))(x))
+        score = nn.Conv(1, (3, 3), kernel_init=nn.initializers.zeros)(x)
+        w = nn.softmax(
+            score.reshape(B * K, P * P) / self.temperature, axis=-1
+        ).reshape(B, K, P, P)
+        pos = jnp.arange(P, dtype=w.dtype) - (P - 1) / 2.0
+        dx = jnp.einsum("bkyx,x->bk", w, pos)
+        dy = jnp.einsum("bkyx,y->bk", w, pos)
+        return jnp.stack([dx, dy], axis=-1)
 
 
 class LearnedFrontend(nn.Module):
@@ -104,7 +140,9 @@ class LearnedFrontend(nn.Module):
             num_layers=self.refiner_layers,
         )
         self.estimator = UncertaintyEstimator(hidden_dim=self.estimator_hidden)
-        self.offset_head = OffsetHead(hidden_dim=self.estimator_hidden)
+        # Conv channels are intentionally small: the head scores local
+        # intensity structure (corner-ness), not semantics.
+        self.offset_head = OffsetHead(hidden_dim=16)
 
     def features_and_saliency(self, images, train: bool = False):
         """Backbone grid + saliency map (the trainable-path prefix)."""
@@ -116,10 +154,11 @@ class LearnedFrontend(nn.Module):
         )
         return feats, saliency
 
-    def refine_at(self, feats, saliency, keypoints_patch):
+    def refine_at(self, feats, saliency, images, keypoints_patch):
         """Learned sub-patch positions: patch-center coords + OffsetHead
-        offsets from the local feature + 3x3 saliency context."""
-        from ..ops.sampling import nearest_sample
+        offsets from the raw intensity patch + local feature + 3x3
+        saliency context. ``images``: the model input (B, H, W, 3)."""
+        from ..ops.sampling import gather_patches, nearest_sample
 
         sal = saliency[..., 0] if saliency.ndim == 4 else saliency
         neigh = jnp.stack(
@@ -133,7 +172,17 @@ class LearnedFrontend(nn.Module):
             axis=-1,
         )  # (B, K, 9)
         local = bilinear_sample(feats, keypoints_patch)
-        return keypoints_patch + self.offset_head(local, neigh)
+        gray = jnp.mean(images.astype(jnp.float32), axis=-1)  # (B, H, W)
+        centers_px = patch_to_pixel(keypoints_patch, self.patch_size)
+        r = self.patch_size // 2
+        patches = gather_patches(gray, centers_px, radius=r)  # (B, K, P, P)
+        # Per-window standardization: offsets must key on STRUCTURE phase,
+        # not absolute brightness/contrast.
+        mu = jnp.mean(patches, axis=(-1, -2), keepdims=True)
+        sd = jnp.std(patches, axis=(-1, -2), keepdims=True)
+        patches = (patches - mu) / (sd + 1e-5)
+        off_px = self.offset_head(patches, local, neigh)  # window pixels
+        return keypoints_patch + off_px / self.patch_size
 
     def describe_at(self, feats, keypoints_patch):
         """Bilinear feature sampling + descriptor refinement at given
@@ -153,7 +202,7 @@ class LearnedFrontend(nn.Module):
         # (next line) sample patch CENTERS so the descriptor loss exerts
         # no pressure on the offsets (see OffsetHead).
         xy = (
-            self.refine_at(feats, saliency, kp.xy)
+            self.refine_at(feats, saliency, images, kp.xy)
             if self.subpatch_refine
             else kp.xy
         )

@@ -67,12 +67,6 @@ class DatasetConfig:
         ]
     )
     frame_spacing: int = 1
-    # TPU-build extension: when set (> frame_spacing), each training
-    # pair samples its spacing uniformly from
-    # [frame_spacing, frame_spacing_max] — wider baselines make
-    # patch-center-only localization expensive, forcing the sub-patch
-    # soft-argmax to learn real offsets (see localization_loss).
-    frame_spacing_max: Optional[int] = None
     max_frames: Optional[int] = None
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
     # TPU-build extension: use the synthetic world instead of TUM on disk.

@@ -160,10 +160,10 @@ def _forward_pair(
         # OffsetHead positions, trained ONLY by localization_loss below;
         # descriptors sample patch centers (see models.frontend).
         xy1 = model.apply(
-            vars3, feats1, sal1, kp1.xy, method=LearnedFrontend.refine_at
+            vars3, feats1, sal1, rgb1, kp1.xy, method=LearnedFrontend.refine_at
         )
         xy2 = model.apply(
-            vars3, feats2, sal2, kp2.xy, method=LearnedFrontend.refine_at
+            vars3, feats2, sal2, rgb2, kp2.xy, method=LearnedFrontend.refine_at
         )
 
     _, desc1, conf1 = model.apply(

@@ -207,7 +207,7 @@ def test_offset_head_zero_init_and_bounded():
 
     kp = select_keypoints(sal, model.num_keypoints)
     refined = model.apply(
-        variables, feats, sal, kp.xy, method=LearnedFrontend.refine_at
+        variables, feats, sal, imgs, kp.xy, method=LearnedFrontend.refine_at
     )
     # zero-init final layer -> offsets exactly zero at init
     assert np.allclose(np.asarray(refined), np.asarray(kp.xy))
@@ -216,11 +216,13 @@ def test_offset_head_zero_init_and_bounded():
     import flax
 
     params = flax.core.unfreeze(variables["params"])
-    leaf = params["offset_head"]["Dense_2"]
+    leaf = params["offset_head"]["Conv_2"]
     leaf["kernel"] = jnp.ones_like(leaf["kernel"]) * 0.5
     leaf["bias"] = jnp.ones_like(leaf["bias"]) * 0.3
     v2 = {**variables, "params": flax.core.freeze(params)}
-    refined2 = model.apply(v2, feats, sal, kp.xy, method=LearnedFrontend.refine_at)
+    refined2 = model.apply(
+        v2, feats, sal, imgs, kp.xy, method=LearnedFrontend.refine_at
+    )
     d = np.abs(np.asarray(refined2) - np.asarray(kp.xy))
     assert d.max() > 1e-4
     assert d.max() <= 1.0 + 1e-6

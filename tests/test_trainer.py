@@ -211,7 +211,16 @@ def test_localization_loss_wired_through_train_step(rng):
             np.array([[[80.0, 0, 32], [0, 80, 32], [0, 0, 1]]], np.float32),
             b, axis=0,
         ),
-        "rel_pose": np.repeat(np.eye(4, dtype=np.float32)[None], b, axis=0),
+        # Small translation: same-cell matches then carry a ~2 px
+        # residual (identity pose gives exactly-zero or outlier-masked
+        # residuals -> no gradient by construction).
+        "rel_pose": np.repeat(
+            np.array(
+                [[1, 0, 0, 0.05], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+                np.float32,
+            )[None],
+            b, axis=0,
+        ),
     }
     batch = mesh_lib.shard_batch(mesh, batch)
     before = jax.tree.map(
