@@ -25,11 +25,13 @@ def _synthetic_pair_batches(cfg, split_seed: int, num_worlds: int = 3):
 
     - ``num_worlds`` independently-seeded rooms/trajectories;
     - frames are rendered OVERSIZED (1.3x) and every pair takes a random
-      anisotropic crop (same window for both frames = pure intrinsics
-      change), resized to the square training shape. Crops sweep the
-      effective scale range the acceptance harness evaluates at AND
-      shift the patch-grid phase fractionally — the sub-patch diversity
-      the localization loss needs.
+      anisotropic crop resized to the square training shape (a pure
+      intrinsics change). Crops sweep the effective scale range the
+      acceptance harness evaluates at;
+    - frame 2's crop origin is independently JITTERED (see crop_item) so
+      the localization loss sees uniform sub-patch phase differences —
+      the signal the OffsetHead needs (with same-window pairs it
+      converges to ~zero offsets).
     """
     from ..data import synthetic, tum as tum_mod
 
@@ -59,25 +61,46 @@ def _synthetic_pair_batches(cfg, split_seed: int, num_worlds: int = 3):
         cw = int(rng.integers(size, W0 + 1))
         oy = int(rng.integers(0, H0 - ch + 1))
         ox = int(rng.integers(0, W0 - cw + 1))
+        # Frame 2 takes the SAME window size but an independently
+        # JITTERED origin (up to ~one patch pitch after resize). A
+        # same-window pair only ever asks the OffsetHead for corrections
+        # as large as the tiny inter-frame flow (<~1 px at spacing 1) —
+        # measured: the head converges to ~zero offsets and spacing-5
+        # repeatability stays 0. The jitter is a pure intrinsics change
+        # (K2 below), so the localization loss sees uniform sub-patch
+        # phase differences while appearance stays near-identical
+        # (mutual-NN descriptor matches remain content-correct).
+        # +/-12 render px -> <=~+/-12 px after resize: inside the +/-8
+        # correctable sub-patch phase most of the time (larger jitter
+        # mostly produces cell-wrap cases the head cannot fix).
+        jx = int(rng.integers(-12, 13))
+        jy = int(rng.integers(-12, 13))
+        ox2 = min(max(ox + jx, 0), W0 - cw)
+        oy2 = min(max(oy + jy, 0), H0 - ch)
         r1 = tum_mod.resize_bilinear(
             world["rgb"][j, oy : oy + ch, ox : ox + cw], size, size
         )
         r2 = tum_mod.resize_bilinear(
-            world["rgb"][j + spacing, oy : oy + ch, ox : ox + cw], size, size
+            world["rgb"][j + spacing, oy2 : oy2 + ch, ox2 : ox2 + cw],
+            size,
+            size,
         )
         d1 = tum_mod.resize_nearest(
             world["depth"][j, oy : oy + ch, ox : ox + cw], size, size
         )
         cam = world["cam"]
         sx, sy = size / cw, size / ch
-        K = np.array(
-            [
-                [cam.fx * sx, 0.0, (cam.cx - ox) * sx],
-                [0.0, cam.fy * sy, (cam.cy - oy) * sy],
-                [0.0, 0.0, 1.0],
-            ],
-            np.float32,
-        )
+
+        def _K(off_x, off_y):
+            return np.array(
+                [
+                    [cam.fx * sx, 0.0, (cam.cx - off_x) * sx],
+                    [0.0, cam.fy * sy, (cam.cy - off_y) * sy],
+                    [0.0, 0.0, 1.0],
+                ],
+                np.float32,
+            )
+
         rel = (inv(world["poses"][j + spacing]) @ world["poses"][j]).astype(
             np.float32
         )
@@ -85,7 +108,8 @@ def _synthetic_pair_batches(cfg, split_seed: int, num_worlds: int = 3):
             tum_mod.imagenet_normalize(r1).astype(np.float32),
             tum_mod.imagenet_normalize(r2).astype(np.float32),
             d1.astype(np.float32),
-            K,
+            _K(ox, oy),
+            _K(ox2, oy2),
             rel,
         )
 
@@ -103,12 +127,13 @@ def _synthetic_pair_batches(cfg, split_seed: int, num_worlds: int = 3):
                 crop_item(worlds[w], j, spacing, rng)
                 for w, j in pairs[start : start + b]
             ]
-            r1, r2, d1, K, rel = map(np.stack, zip(*items))
+            r1, r2, d1, K, K2, rel = map(np.stack, zip(*items))
             yield {
                 "rgb1": r1,
                 "rgb2": r2,
                 "depth1": d1,
                 "K": K,
+                "K2": K2,
                 "rel_pose": rel,
             }
 

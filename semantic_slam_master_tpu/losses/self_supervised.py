@@ -180,6 +180,7 @@ def localization_loss(
     huber_delta: float = 4.0,
     min_depth: float = 0.05,
     max_residual: float | None = None,
+    K2: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Warp-consistency localization loss (TPU-build extension).
 
@@ -201,8 +202,13 @@ def localization_loss(
         match in frame 2 (differentiable).
     valid: (B, K) match validity.
     depth1: (B, H, W) metric depth for frame 1.
-    K: (3, 3) or (B, 3, 3) intrinsics at the training resolution.
+    K: (3, 3) or (B, 3, 3) frame-1 intrinsics at the training resolution.
     T_21: (B, 4, 4) camera-2-from-camera-1 relative pose.
+    K2: frame-2 intrinsics when the two frames were cropped with
+        DIFFERENT windows (the sub-patch phase augmentation the
+        OffsetHead needs — same-window pairs only ever demand
+        corrections as large as the tiny inter-frame flow, and the head
+        converges to ~zero offsets); defaults to K.
     Returns mean Huber reprojection error in pixels over valid matches.
     """
     from ..ops.sampling import nearest_sample
@@ -219,8 +225,11 @@ def localization_loss(
     X2 = jnp.einsum("bij,bkj->bki", R, X1) + t[:, None, :]
     z2 = X2[..., 2]
     z_safe = jnp.where(z2 > min_depth, z2, 1.0)
-    u2 = K[:, None, 0, 0] * X2[..., 0] / z_safe + K[:, None, 0, 2]
-    v2 = K[:, None, 1, 1] * X2[..., 1] / z_safe + K[:, None, 1, 2]
+    Kp = K if K2 is None else jnp.broadcast_to(
+        jnp.asarray(K2, uv1.dtype), (B, 3, 3)
+    )
+    u2 = Kp[:, None, 0, 0] * X2[..., 0] / z_safe + Kp[:, None, 0, 2]
+    v2 = Kp[:, None, 1, 1] * X2[..., 1] / z_safe + Kp[:, None, 1, 2]
     ok = (
         valid
         & (d > min_depth)

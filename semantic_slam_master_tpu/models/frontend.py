@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import bilinear_sample
@@ -63,6 +64,14 @@ class OffsetHead(nn.Module):
 
     hidden_dim: int = 16
     temperature: float = 0.5
+    # Local soft-argmax half-width: the expectation is restricted to a
+    # (2*local_radius+1)^2 box around the (stop-gradient) score argmax.
+    # A GLOBAL expectation averages the peaks of a multimodal score map
+    # (windows routinely contain several corners), which caps
+    # localization precision at ~the peak spacing — measured 3.5-4 px
+    # mean residual plateau; the local form keeps sub-pixel gradients
+    # while committing to one peak.
+    local_radius: int = 4
 
     @nn.compact
     def __call__(
@@ -87,9 +96,24 @@ class OffsetHead(nn.Module):
         x = nn.gelu(nn.Conv(self.hidden_dim, (3, 3))(x) + ctx)
         x = nn.gelu(nn.Conv(self.hidden_dim, (3, 3))(x))
         score = nn.Conv(1, (3, 3), kernel_init=nn.initializers.zeros)(x)
-        w = nn.softmax(
-            score.reshape(B * K, P * P) / self.temperature, axis=-1
-        ).reshape(B, K, P, P)
+        flat = score.reshape(B * K, P * P) / self.temperature
+        # Commit to the strongest peak (hard, grad-free), localize within
+        # its box (soft, differentiable). The argmax tie-break prior pulls
+        # toward the window center so the zero-init (all-zero score) map
+        # peaks at the center and the expectation starts EXACTLY there —
+        # the reference's patch-center behaviour, not a corner artifact.
+        c = (P - 1) / 2.0
+        d2 = (jnp.arange(P) - c) ** 2
+        prior = -1e-6 * (d2[:, None] + d2[None, :]).reshape(P * P)
+        peak = jax.lax.stop_gradient(jnp.argmax(flat + prior, axis=-1))
+        py = (peak // P)[:, None]
+        px = (peak % P)[:, None]
+        iy = jnp.arange(P)[None, :]
+        near_y = jnp.abs(iy - py) <= self.local_radius  # (BK, P)
+        near_x = jnp.abs(iy - px) <= self.local_radius
+        mask = (near_y[:, :, None] & near_x[:, None, :]).reshape(B * K, P * P)
+        flat = jnp.where(mask, flat, -jnp.inf)
+        w = nn.softmax(flat, axis=-1).reshape(B, K, P, P)
         pos = jnp.arange(P, dtype=w.dtype) - (P - 1) / 2.0
         dx = jnp.einsum("bkyx,x->bk", w, pos)
         dy = jnp.einsum("bkyx,y->bk", w, pos)
@@ -174,7 +198,10 @@ class LearnedFrontend(nn.Module):
         local = bilinear_sample(feats, keypoints_patch)
         gray = jnp.mean(images.astype(jnp.float32), axis=-1)  # (B, H, W)
         centers_px = patch_to_pixel(keypoints_patch, self.patch_size)
-        r = self.patch_size // 2
+        # Window radius > patch_size/2: structure at the far sub-patch
+        # phases (+/- 8 px) must sit INTERIOR to the window, not on its
+        # edge, for the conv stack to score it.
+        r = self.patch_size // 2 + 2
         patches = gather_patches(gray, centers_px, radius=r)  # (B, K, P, P)
         # Per-window standardization: offsets must key on STRUCTURE phase,
         # not absolute brightness/contrast.

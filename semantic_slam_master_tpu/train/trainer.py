@@ -226,9 +226,11 @@ def _forward_pair(
             extras["depth1"],
             extras["K"],
             extras["rel_pose"],
-            # True correspondence error is bounded by flow + one patch
-            # pitch; larger residuals are descriptor mismatches.
-            max_residual=8.0,
+            # True correspondence error is bounded by flow + the crop
+            # jitter (up to one patch pitch of sub-patch phase); larger
+            # residuals are descriptor mismatches.
+            max_residual=12.0,
+            K2=extras.get("K2"),
         )
         loc = jnp.where(jnp.isfinite(loc), loc, 0.0)
         extra = extra + loc_w * loc

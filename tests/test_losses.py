@@ -206,3 +206,16 @@ def test_localization_loss_zero_at_true_correspondence(rng):
         uv1, uv2 + 50.0, valid, jnp.zeros_like(depth), Km, T21
     )
     assert float(lossm) == 0.0
+
+    # Per-frame intrinsics (K2): frame 2 cropped with a shifted window
+    # moves its principal point; correspondences expressed in the
+    # shifted frame are exact ONLY when K2 carries the shift (the
+    # crop-jitter augmentation contract, cli/train_cli.crop_item).
+    shift = jnp.asarray([5.0, -3.0], jnp.float32)
+    K2 = Km.at[0, 2].add(shift[0]).at[1, 2].add(shift[1])
+    loss_k2 = L.localization_loss(
+        uv1, uv2 + shift, valid, depth, Km, T21, K2=K2
+    )
+    assert float(loss_k2) < 1e-3
+    loss_wrong = L.localization_loss(uv1, uv2 + shift, valid, depth, Km, T21)
+    assert float(loss_wrong) > 0.5
