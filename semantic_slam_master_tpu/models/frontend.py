@@ -53,7 +53,8 @@ class OffsetHead(nn.Module):
     which this recipe's ~2k steps don't provide.
 
     Supervised by the warp-consistency localization loss ONLY
-    (descriptors sample patch centers), so — unlike a saliency
+    (descriptors sample the refined positions under stop-gradient), so
+    — unlike a saliency
     soft-argmax, whose offsets the descriptor loss can silently kill by
     saturating the saliency map (measured: mean saliency 0.42 -> 0.90,
     repeatability 0.96 -> 0.13) — there is no competing gradient
@@ -226,14 +227,19 @@ class LearnedFrontend(nn.Module):
             saliency, num_keypoints=self.num_keypoints, nms_radius=self.nms_radius
         )
         # Geometric coords get learned sub-patch offsets; descriptors
-        # (next line) sample patch CENTERS so the descriptor loss exerts
-        # no pressure on the offsets (see OffsetHead).
+        # sample the refined position under STOP-GRADIENT — they describe
+        # the content point the keypoint locks onto (so a matched pair
+        # samples the same physical structure), while the descriptor loss
+        # exerts no pressure on the offsets (see OffsetHead; sampling
+        # patch centers instead leaves matched pairs locked onto
+        # DIFFERENT structures within their cells — measured inlier
+        # ratio 0.19 with repeatability 0.68).
         xy = (
             self.refine_at(feats, saliency, images, kp.xy)
             if self.subpatch_refine
             else kp.xy
         )
-        _, desc, conf = self.describe_at(feats, kp.xy)
+        _, desc, conf = self.describe_at(feats, jax.lax.stop_gradient(xy))
         return FrontendOutput(
             keypoints_px=patch_to_pixel(xy, self.patch_size),
             keypoints_patch=xy,

@@ -158,7 +158,8 @@ def _forward_pair(
     xy1, xy2 = kp1.xy, kp2.xy
     if cfg.model.subpatch_refine:
         # OffsetHead positions, trained ONLY by localization_loss below;
-        # descriptors sample patch centers (see models.frontend).
+        # descriptors sample the refined positions under stop-gradient
+        # (see models.frontend.LearnedFrontend.__call__).
         xy1 = model.apply(
             vars3, feats1, sal1, rgb1, kp1.xy, method=LearnedFrontend.refine_at
         )
@@ -167,10 +168,12 @@ def _forward_pair(
         )
 
     _, desc1, conf1 = model.apply(
-        vars3, feats1, kp1.xy, method=LearnedFrontend.describe_at
+        vars3, feats1, jax.lax.stop_gradient(xy1),
+        method=LearnedFrontend.describe_at,
     )
     _, desc2, _ = model.apply(
-        vars3, feats2, kp2.xy, method=LearnedFrontend.describe_at
+        vars3, feats2, jax.lax.stop_gradient(xy2),
+        method=LearnedFrontend.describe_at,
     )
 
     m = matching.match_cosine(desc1, desc2, kp1.valid, kp2.valid, ratio=None)
