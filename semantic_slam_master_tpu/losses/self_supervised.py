@@ -170,6 +170,85 @@ def spatial_sparsity_loss(
     return sparsity + penalty
 
 
+def warp_points_depth(
+    uv1: jnp.ndarray,
+    depth1: jnp.ndarray,
+    K: jnp.ndarray,
+    T_21: jnp.ndarray,
+    K2: jnp.ndarray | None = None,
+    min_depth: float = 0.05,
+):
+    """Reproject frame-1 pixels into frame 2 through measured depth and
+    the relative pose (differentiable w.r.t. uv1 except through the
+    nearest-sampled depth).
+
+    uv1: (B, K, 2) frame-1 pixels; depth1: (B, H, W) metric depth;
+    K / K2: (3, 3) or (B, 3, 3) per-frame intrinsics (K2 defaults to K);
+    T_21: (B, 4, 4). Returns ((B, K, 2) warped pixels, (B, K) validity:
+    positive depth, in front of camera 2, inside frame 2).
+    """
+    from ..ops.sampling import nearest_sample
+
+    B = uv1.shape[0]
+    H, W = depth1.shape[-2:]
+    d = nearest_sample(depth1, uv1)  # (B, K); grad-free in position
+    K = jnp.broadcast_to(jnp.asarray(K, uv1.dtype), (B, 3, 3))
+    Kinv_x = (uv1[..., 0] - K[:, None, 0, 2]) / K[:, None, 0, 0]
+    Kinv_y = (uv1[..., 1] - K[:, None, 1, 2]) / K[:, None, 1, 1]
+    X1 = jnp.stack([Kinv_x * d, Kinv_y * d, d], axis=-1)  # (B, K, 3)
+    R = T_21[:, :3, :3].astype(uv1.dtype)
+    t = T_21[:, :3, 3].astype(uv1.dtype)
+    X2 = jnp.einsum("bij,bkj->bki", R, X1) + t[:, None, :]
+    z2 = X2[..., 2]
+    z_safe = jnp.where(z2 > min_depth, z2, 1.0)
+    Kp = K if K2 is None else jnp.broadcast_to(
+        jnp.asarray(K2, uv1.dtype), (B, 3, 3)
+    )
+    u2 = Kp[:, None, 0, 0] * X2[..., 0] / z_safe + Kp[:, None, 0, 2]
+    v2 = Kp[:, None, 1, 1] * X2[..., 1] / z_safe + Kp[:, None, 1, 2]
+    ok = (
+        (d > min_depth)
+        & (z2 > min_depth)
+        & (u2 >= 0.0)
+        & (u2 <= W - 1.0)
+        & (v2 >= 0.0)
+        & (v2 <= H - 1.0)
+    )
+    return jnp.stack([u2, v2], axis=-1), ok
+
+
+def gt_match_pairs(
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    valid1: jnp.ndarray,
+    valid2: jnp.ndarray,
+    depth1: jnp.ndarray,
+    K: jnp.ndarray,
+    T_21: jnp.ndarray,
+    K2: jnp.ndarray | None = None,
+    radius: float = 6.0,
+) -> tuple:
+    """GT-warp correspondence pairing (TPU-build synthetic-recipe
+    extension; see train.config.LossConfig.gt_supervision): each frame-1
+    keypoint is paired with the nearest frame-2 keypoint to its
+    depth+pose reprojection, valid when within ``radius`` px. One
+    (B, K, K) distance matrix — no host loops.
+
+    Returns ((B, K, 2) int32 [i, j] pairs, (B, K) validity).
+    """
+    warped, ok = warp_points_depth(uv1, depth1, K, T_21, K2=K2)
+    d2 = jnp.sum(
+        (warped[:, :, None, :] - uv2[:, None, :, :]) ** 2, axis=-1
+    )  # (B, K1, K2)
+    d2 = jnp.where(valid2[:, None, :], d2, jnp.inf)
+    j = jnp.argmin(d2, axis=-1)  # (B, K1)
+    dmin = jnp.min(d2, axis=-1)
+    pair_valid = valid1 & ok & (dmin <= radius * radius)
+    B, Kn = j.shape
+    i = jnp.broadcast_to(jnp.arange(Kn, dtype=jnp.int32), (B, Kn))
+    return jnp.stack([i, j.astype(jnp.int32)], axis=-1), pair_valid
+
+
 def localization_loss(
     uv1: jnp.ndarray,
     uv2_matched: jnp.ndarray,
@@ -211,38 +290,12 @@ def localization_loss(
         converges to ~zero offsets); defaults to K.
     Returns mean Huber reprojection error in pixels over valid matches.
     """
-    from ..ops.sampling import nearest_sample
-
-    B, Kn, _ = uv1.shape
-    H, W = depth1.shape[-2:]
-    d = nearest_sample(depth1, uv1)  # (B, K); grad-free in position
-    K = jnp.broadcast_to(jnp.asarray(K, uv1.dtype), (B, 3, 3))
-    Kinv_x = (uv1[..., 0] - K[:, None, 0, 2]) / K[:, None, 0, 0]
-    Kinv_y = (uv1[..., 1] - K[:, None, 1, 2]) / K[:, None, 1, 1]
-    X1 = jnp.stack([Kinv_x * d, Kinv_y * d, d], axis=-1)  # (B, K, 3)
-    R = T_21[:, :3, :3].astype(uv1.dtype)
-    t = T_21[:, :3, 3].astype(uv1.dtype)
-    X2 = jnp.einsum("bij,bkj->bki", R, X1) + t[:, None, :]
-    z2 = X2[..., 2]
-    z_safe = jnp.where(z2 > min_depth, z2, 1.0)
-    Kp = K if K2 is None else jnp.broadcast_to(
-        jnp.asarray(K2, uv1.dtype), (B, 3, 3)
+    warped, ok_w = warp_points_depth(
+        uv1, depth1, K, T_21, K2=K2, min_depth=min_depth
     )
-    u2 = Kp[:, None, 0, 0] * X2[..., 0] / z_safe + Kp[:, None, 0, 2]
-    v2 = Kp[:, None, 1, 1] * X2[..., 1] / z_safe + Kp[:, None, 1, 2]
-    ok = (
-        valid
-        & (d > min_depth)
-        & (z2 > min_depth)
-        & (u2 >= 0.0)
-        & (u2 <= W - 1.0)
-        & (v2 >= 0.0)
-        & (v2 <= H - 1.0)
-    )
+    ok = valid & ok_w
     r = jnp.sqrt(
-        (u2 - uv2_matched[..., 0]) ** 2
-        + (v2 - uv2_matched[..., 1]) ** 2
-        + 1e-12
+        jnp.sum((warped - uv2_matched) ** 2, axis=-1) + 1e-12
     )
     if max_residual is not None:
         # Descriptor mismatches produce arbitrarily large residuals whose

@@ -102,6 +102,21 @@ class LossConfig:
     sparsity_target: float = 0.35
     edge_threshold: float = 0.1
     sparsity_penalty: float = 2.0
+    # TPU-build extension (synthetic recipe only): build InfoNCE
+    # positives from the GT depth+pose warp instead of in-training
+    # mutual-NN matches. The reference's self-supervised bootstrap works
+    # because its FROZEN pretrained DINOv3 descriptors are already
+    # discriminative; trained from scratch (no pretrained weights can
+    # exist in this container — recorded waiver) the bootstrap
+    # self-reinforces lookalike-texture mismatches (measured: the true
+    # correspondent's similarity stays at 0.15 while lookalikes reach
+    # 0.87). GT supervision is only used where GT is free (the synthetic
+    # world); TUM configs keep the reference's self-supervised matching.
+    gt_supervision: bool = False
+    # Pairing radius (px at the training resolution) for GT positives:
+    # below half the 16-px patch pitch, so the paired cell is
+    # unambiguous even before the OffsetHead localizes.
+    gt_match_radius: float = 6.0
 
 
 @dataclass

@@ -177,7 +177,30 @@ def _forward_pair(
     )
 
     m = matching.match_cosine(desc1, desc2, kp1.valid, kp2.valid, ratio=None)
-    pairs, pair_valid = matching.matches_to_pairs(m, cfg.model.num_keypoints)
+    use_gt = getattr(cfg.loss, "gt_supervision", False) and extras is not None
+    if use_gt:
+        # GT-warp positives (synthetic recipe; LossConfig.gt_supervision):
+        # in-training mutual-NN bootstrapping self-reinforces
+        # lookalike-texture mismatches when the backbone trains from
+        # scratch — see the config field's rationale.
+        from ..models.backbone import patch_to_pixel as _p2p
+
+        ps_ = model.patch_size
+        pairs, pair_valid = losses.gt_match_pairs(
+            _p2p(jax.lax.stop_gradient(xy1), ps_),
+            _p2p(jax.lax.stop_gradient(xy2), ps_),
+            kp1.valid,
+            kp2.valid,
+            extras["depth1"],
+            extras["K"],
+            extras["rel_pose"],
+            K2=extras.get("K2"),
+            radius=cfg.loss.gt_match_radius,
+        )
+        loc_idx2, loc_valid = pairs[..., 1], pair_valid
+    else:
+        pairs, pair_valid = matching.matches_to_pairs(m, cfg.model.num_keypoints)
+        loc_idx2, loc_valid = m.idx2, m.valid & kp1.valid
 
     bundle = losses.total_loss(
         desc1,
@@ -220,12 +243,12 @@ def _forward_pair(
         uv1 = patch_to_pixel(xy1, ps)
         uv2 = patch_to_pixel(xy2, ps)
         uv2_matched = jnp.take_along_axis(
-            uv2, m.idx2[..., None], axis=1
+            uv2, loc_idx2[..., None], axis=1
         )
         loc = losses.localization_loss(
             uv1,
             uv2_matched,
-            conf_valid,
+            loc_valid,
             extras["depth1"],
             extras["K"],
             extras["rel_pose"],

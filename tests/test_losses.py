@@ -219,3 +219,24 @@ def test_localization_loss_zero_at_true_correspondence(rng):
     assert float(loss_k2) < 1e-3
     loss_wrong = L.localization_loss(uv1, uv2 + shift, valid, depth, Km, T21)
     assert float(loss_wrong) > 0.5
+
+    # GT-warp pairing (gt_match_pairs): with frame-2 keypoints equal to
+    # the exact reprojections under a permutation, every frame-1
+    # keypoint pairs with its permuted correspondent; a far-away row is
+    # invalid.
+    perm = np.asarray([(k + 3) % K for k in range(K)])
+    uv2_perm = uv2[:, perm, :]
+    v2 = jnp.ones((B, K), bool)
+    pairs, pv = L.gt_match_pairs(
+        uv1, uv2_perm, valid, v2, depth, Km, T21, radius=3.0
+    )
+    j = np.asarray(pairs[..., 1])
+    assert np.all(j[:, perm] == np.arange(K)) or np.all(
+        perm[j] == np.arange(K)
+    )
+    assert bool(np.all(np.asarray(pv)))
+    far = uv2_perm + 50.0
+    _, pv_far = L.gt_match_pairs(
+        uv1, far, valid, v2, depth, Km, T21, radius=3.0
+    )
+    assert not np.any(np.asarray(pv_far))
