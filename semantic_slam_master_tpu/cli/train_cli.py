@@ -15,7 +15,7 @@ from pathlib import Path
 import numpy as np
 
 
-def _synthetic_pair_batches(cfg, split_seed: int, num_worlds: int = 3):
+def _synthetic_pair_batches(cfg, split_seed: int, num_worlds: int | None = None):
     """Frame-pair batches from the synthetic world (deterministic).
 
     Anti-memorization measures (a single fixed-resolution world lets the
@@ -35,6 +35,8 @@ def _synthetic_pair_batches(cfg, split_seed: int, num_worlds: int = 3):
     """
     from ..data import synthetic, tum as tum_mod
 
+    if num_worlds is None:
+        num_worlds = cfg.dataset.synthetic_worlds
     size = cfg.model.input_size
     render_scale = size / 480.0 * 1.3
     worlds = []
@@ -202,6 +204,11 @@ def main(argv=None):
     parser.add_argument("--steps-per-epoch", type=int, default=None)
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--jsonl-log", default=None)
+    parser.add_argument(
+        "--init-from",
+        default=None,
+        help="checkpoint to warm-start params from (fresh optimizer/schedule)",
+    )
     args = parser.parse_args(argv)
 
     from ..train import config as config_mod, trainer
@@ -237,7 +244,8 @@ def main(argv=None):
     steps = args.steps_per_epoch or cfg.training.steps_per_epoch or 16
     try:
         state, history = trainer.fit(
-            cfg, train_batches, val_batches, steps_per_epoch=steps, log_fn=sink.log
+            cfg, train_batches, val_batches, steps_per_epoch=steps,
+            log_fn=sink.log, init_from=args.init_from,
         )
     finally:
         sink.close()

@@ -328,16 +328,17 @@ def describe_matmul(
     Requires W % 32 == 0. Bit-identical to `describe_gather` for interior
     keypoints.
 
-    Measured cost split at (B=8, N=1000, 640x480) on a v5e core:
-    orientation moments 0.6 ms, slab row gather 3.5 ms, alignment +
-    einsums + packing ~7.4 ms per batch. The NEXT optimization targets
-    (round-3 work, sketched from Mosaic's DMA alignment rules): a Pallas
-    kernel fusing steps 1-2 — per keypoint, DMA a 40 x 256-lane aligned
-    superset of the patch rows from HBM (8-sublane / 128-lane aligned
-    starts satisfy Mosaic; ~0.4 ms of traffic vs 3.5 ms for the XLA row
-    gather) and center it in VMEM with `pltpu.roll` (dynamic lane
-    rotate), eliminating both the gather and the 32-pass masked-select
-    alignment loop.
+    Measured cost split at (B=8, N=1000, 640x480) on a v5e core
+    (marginal-timed, round 3): Pallas aligned-superset patch gather
+    1.6 ms, all-bin difference einsum 0.54 ms (MXU-saturated — see
+    `_describe_from_aligned` for why the 30x bin redundancy is the
+    right trade), one-hot bin pick ~0, full describe 2.0 ms/batch
+    (0.25 ms/frame). Remaining headroom is the gather: its unavoidable
+    traffic is ~0.36 GB (8000 keypoints x 40 rows x 256 f32 lanes +
+    the aligned output), ~0.44 ms at the 819 GB/s HBM peak, so the
+    kernel sits at ~28% of bandwidth roofline — the per-keypoint DMA
+    grid serializes small (40x256) transfers; batching several
+    keypoints' row supersets per grid step is the next candidate.
     """
     if not prefiltered:
         img = gaussian_blur(img, sigma=blur_sigma, radius=3)
@@ -415,7 +416,22 @@ def _describe_from_aligned(
     I_q(b_t) - I_q(a_t), bit-identical to the quantized gather path
     regardless of accumulation order, at the MXU's full bf16 rate.
     (An int8 x int8 -> int32 formulation was tried and measured no
-    faster — XLA does not route this dot to an int8 MXU path.)"""
+    faster — XLA does not route this dot to an int8 MXU path.)
+
+    The 30x bin redundancy is a MEASURED win, not an oversight. At
+    production shapes (B=8, N=1000) on a v5e core, marginal-timed:
+    this all-bin einsum (126 GFLOP as one (8000,1024)x(1024,7680)
+    matmul) runs in 0.54 ms — at/above the 197 TFLOP/s bf16 nameplate
+    within timing error, i.e. MXU-saturated — and the one-hot bin pick
+    fuses to ~0 ms. The "non-redundant" alternatives are strictly
+    worse: per-keypoint selected-bin rows need only 4.2 GFLOP
+    (0.02 ms of compute) but materializing D[bins] is a 4.19 GB HBM
+    gather (5.1 ms at the 819 GB/s peak — 10x the cost it saves), and
+    in-VMEM per-keypoint row picks scalarize (~9 ns/elem). Compute on
+    the MXU is free here; bytes are not. The describe stage's actual
+    remaining headroom is the Pallas patch gather upstream (1.6 ms
+    measured vs ~0.44 ms of unavoidable traffic — see
+    ops/pallas/patches.py), not this einsum."""
     B, N = aligned.shape[:2]
     flat_q = _quantize_u8(aligned).reshape(B, N, 32 * 32).astype(jnp.bfloat16)
     D = jnp.asarray(_BIN_SELECT).astype(jnp.bfloat16)  # (30, 256, 1024)

@@ -72,6 +72,10 @@ class DatasetConfig:
     # TPU-build extension: use the synthetic world instead of TUM on disk.
     synthetic: bool = False
     synthetic_frames: int = 64
+    # Independently-seeded synthetic rooms per split (texture/trajectory
+    # diversity — the descriptor's lookalike-texture confusions are a
+    # world-diversity problem, not a capacity problem).
+    synthetic_worlds: int = 3
 
 
 @dataclass

@@ -359,7 +359,17 @@ def make_eval_step(model: LearnedFrontend, cfg: Config, mesh=None):
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(path: str | Path, state: TrainState, metadata: Dict | None = None):
+def save_checkpoint(
+    path: str | Path,
+    state: TrainState,
+    metadata: Dict | None = None,
+    params_only: bool = False,
+):
+    """``params_only=True`` drops the optimizer state and PRNG (~3x
+    smaller on Adam) — for committed inference artifacts; such a
+    checkpoint restores for inference/eval but cannot resume training."""
+    import json
+
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
@@ -369,38 +379,44 @@ def save_checkpoint(path: str | Path, state: TrainState, metadata: Dict | None =
         "trainable": state.trainable,
         "frozen": state.frozen,
         "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "rng": state.rng,
     }
+    if not params_only:
+        payload["opt_state"] = state.opt_state
+        payload["rng"] = state.rng
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    if metadata:
-        import json
-
-        (path.parent / (path.name + ".meta.json")).write_text(json.dumps(metadata))
+    meta = dict(metadata or {})
+    meta["params_only"] = params_only
+    (path.parent / (path.name + ".meta.json")).write_text(json.dumps(meta))
 
 
 def restore_checkpoint(path: str | Path, state: TrainState) -> Tuple[TrainState, Dict]:
-    """Restore into the structure of ``state`` (shapes must match)."""
+    """Restore into the structure of ``state`` (shapes must match).
+
+    Params-only checkpoints (see :func:`save_checkpoint`) restore
+    everything but the optimizer state and PRNG, which keep the values
+    already in ``state``."""
+    import json
+
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
+    meta_path = path.parent / (path.name + ".meta.json")
+    meta = {}
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+
     ckptr = ocp.StandardCheckpointer()
     template = {
         "step": state.step,
         "trainable": state.trainable,
         "frozen": state.frozen,
         "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "rng": state.rng,
     }
+    if not meta.get("params_only", False):
+        template["opt_state"] = state.opt_state
+        template["rng"] = state.rng
     restored = ckptr.restore(path, target=template)
-    meta_path = path.parent / (path.name + ".meta.json")
-    meta = {}
-    if meta_path.exists():
-        import json
-
-        meta = json.loads(meta_path.read_text())
     return dataclasses.replace(state, **restored), meta
 
 
@@ -415,15 +431,26 @@ def fit(
     val_batches: Optional[Callable[[], Iterator[Dict]]] = None,
     steps_per_epoch: int = 16,
     log_fn: Callable[[Dict], None] = lambda m: None,
+    init_from: str | Path | None = None,
 ) -> Tuple[TrainState, Dict]:
     """Epoch loop with best-checkpoint retention.
 
     ``train_batches(epoch)`` yields host batches (dicts of numpy arrays
     with at least rgb1/rgb2); sharding + device transfer happen here.
-    """
+    ``init_from`` warm-starts params/batch-stats from a checkpoint
+    (params-only accepted) with a FRESH optimizer and LR schedule —
+    a cosine warm restart, not a resume (step resets to 0)."""
     t = cfg.training
     mesh = mesh_lib.make_mesh(t.mesh_data, t.mesh_model)
     model, state = create_train_state(cfg, steps_per_epoch)
+    if init_from is not None:
+        restored, _ = restore_checkpoint(init_from, state)
+        state = dataclasses.replace(
+            state,
+            trainable=restored.trainable,
+            frozen=restored.frozen,
+            batch_stats=restored.batch_stats,
+        )
     state = tp.shard_tree(state, mesh)
     tx = build_optimizer(cfg, steps_per_epoch)
     train_step = make_train_step(model, cfg, tx, mesh)

@@ -102,6 +102,32 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert meta["epoch"] == 3
 
 
+def test_checkpoint_params_only(tmp_path, rng):
+    """Committed-artifact format: no opt state / PRNG; params, batch
+    stats, and step restore; optimizer state keeps the template's."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path)
+    model, state = trainer.create_train_state(cfg, steps_per_epoch=2)
+    state = dataclasses.replace(state, step=state.step + 7)
+    trainer.save_checkpoint(
+        tmp_path / "ck", jax.device_get(state), {"epoch": 5}, params_only=True
+    )
+    model2, fresh = trainer.create_train_state(cfg, steps_per_epoch=2)
+    perturbed = dataclasses.replace(
+        fresh, trainable=jax.tree.map(lambda x: x + 1.0, fresh.trainable)
+    )
+    restored, meta = trainer.restore_checkpoint(tmp_path / "ck", perturbed)
+    diff = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        restored.trainable,
+        state.trainable,
+    )
+    assert max(jax.tree.leaves(diff)) == 0.0
+    assert int(restored.step) == 7
+    assert meta["params_only"] is True and meta["epoch"] == 5
+
+
 def test_fit_saves_best(tmp_path, rng):
     cfg = tiny_config(tmp_path)
     cfg.training.epochs = 2
