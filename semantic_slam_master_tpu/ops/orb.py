@@ -357,13 +357,17 @@ def describe_matmul(
 
     if jax.default_backend() == "tpu" and W >= 256 and H >= 40:
         # Fused Pallas gather+align: per-keypoint aligned-superset DMA +
-        # in-VMEM dynamic roll (ops/pallas/patches.py). 1.25 ms/batch vs
-        # ~6.5 ms for the XLA row gather + 12-pass masked-select below
-        # (which remain the portable path and the parity reference).
+        # in-VMEM dynamic roll (ops/pallas/patches.py), double-buffered,
+        # fed the PRE-QUANTIZED bf16 frame (exact integers <= 255, so
+        # quantize-then-gather == gather-then-quantize bit-exactly) to
+        # halve the DMA traffic. vs ~6.5 ms for the XLA row gather +
+        # 12-pass masked-select below (which remain the portable path
+        # and the parity reference).
         from .pallas.patches import gather_aligned_patches
 
-        aligned = gather_aligned_patches(img, xy)
-        return _describe_from_aligned(aligned, offs_bins)
+        imgq = _quantize_u8(img).astype(jnp.bfloat16)
+        aligned = gather_aligned_patches(imgq, xy)
+        return _describe_from_aligned(aligned, offs_bins, prequantized=True)
 
     # --- 1. row-block slab gather ---
     nblk = W // 32
@@ -404,7 +408,7 @@ def describe_matmul(
 
 
 def _describe_from_aligned(
-    aligned: jnp.ndarray, offs_bins: jnp.ndarray
+    aligned: jnp.ndarray, offs_bins: jnp.ndarray, prequantized: bool = False
 ) -> jnp.ndarray:
     """All-bin difference tests on the MXU from centred (B, N, 32, 32)
     patches (keypoint at (15, 15)), then pick each keypoint's bin.
@@ -433,7 +437,10 @@ def _describe_from_aligned(
     measured vs ~0.44 ms of unavoidable traffic — see
     ops/pallas/patches.py), not this einsum."""
     B, N = aligned.shape[:2]
-    flat_q = _quantize_u8(aligned).reshape(B, N, 32 * 32).astype(jnp.bfloat16)
+    if prequantized:  # bf16 frame already on the u8 integer grid
+        flat_q = aligned.reshape(B, N, 32 * 32).astype(jnp.bfloat16)
+    else:
+        flat_q = _quantize_u8(aligned).reshape(B, N, 32 * 32).astype(jnp.bfloat16)
     D = jnp.asarray(_BIN_SELECT).astype(jnp.bfloat16)  # (30, 256, 1024)
     diff = jnp.einsum(
         "bnp,wtp->bnwt", flat_q, D, preferred_element_type=jnp.float32

@@ -107,55 +107,99 @@ def gather_patches_pallas(
 
 
 # ---------------------------------------------------------------------------
-# The SECOND, working formulation: Mosaic-aligned superset DMA + dynamic roll.
+# The SECOND, working formulation: Mosaic-aligned superset DMA + dynamic roll,
+# double-buffered so step c+1's DMAs fly while step c's rolls execute.
 # ---------------------------------------------------------------------------
 
-SUP_ROWS = 40  # 8-aligned superset rows covering a 32-row window anywhere
 SUP_LANES = 256  # 128-aligned superset lanes covering a 32-lane window
 
 
+def _sublane_tile(dtype) -> int:
+    """Mosaic's second-minor tiling: 8 sublanes for 32-bit, 16 for 16-bit.
+    DMA slice starts must be multiples of this."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+def _sup_rows(dtype) -> int:
+    """Superset rows: a 32-row window anywhere needs 32 + (tile - 1)
+    rounded up to the tile (40 for f32, 48 for bf16)."""
+    t = _sublane_tile(dtype)
+    return 32 + t
+
+
 def _aligned_patch_kernel(
-    coords_ref, img_ref, out_ref, scratch, sems, *, group, H, W
+    coords_ref, next_ref, img_ref, out_ref, scratch, sems,
+    *, group, H, W, tile, sup_rows,
 ):
-    """Per keypoint: DMA an ALIGNED (40, 256) superset of the 32x32 patch
-    from HBM (8-sublane / 128-lane aligned starts satisfy Mosaic's DMA
-    tiling rules — the constraint that killed the first kernel), then
-    center it with `pltpu.roll` (dynamic circular shift; positive
-    amounts only) and emit the 32x32 prefix. G copies in flight.
+    """Per keypoint: DMA an ALIGNED (sup_rows, 256) superset of the 32x32
+    patch from HBM (tile-sublane / 128-lane aligned starts satisfy
+    Mosaic's DMA tiling rules — the constraint that killed the first
+    kernel), then center it with `pltpu.roll` (dynamic circular shift;
+    positive amounts only) and emit the 32x32 prefix.
+
+    DOUBLE BUFFERING: `coords_ref` carries this step's keypoint block and
+    `next_ref` the SAME array indexed one block ahead; step c waits on
+    the copies it issued at step c-1 into buffer slot c%2 while step
+    c+1's copies stream into slot (c+1)%2 — the rolls and the HBM
+    traffic overlap instead of serializing (measured 1.6 -> ~1.0 ms for
+    8x1000 f32 keypoints before the bf16 halving).
 
     The aligned starts are computed IN-KERNEL from the raw window
     origins: Mosaic proves divisibility of the `(y // 8) * 8` expression
     itself, but cannot prove it for a prefetched value that merely
     happens to be aligned (passing precomputed aligned starts re-trips
     "failed to prove ... divisible by the tiling")."""
-    def aligned(n):
-        y0 = coords_ref[0, n, 0]
-        x0 = coords_ref[0, n, 1]
+    def aligned(ref, n):
+        y0 = ref[0, n, 0]
+        x0 = ref[0, n, 1]
         # Clamp BEFORE the align-down: Mosaic proves divisibility of
-        # (expr // 8) * 8 but not of min(8a, 8b). H/W - superset are
-        # themselves 8/128-divisible for supported shapes, so the
+        # (expr // t) * t but not of min(t*a, t*b). H/W - superset are
+        # themselves tile/128-divisible for supported shapes, so the
         # align-down of the clamped origin stays in-bounds.
-        y0a = (jnp.minimum(y0, H - SUP_ROWS) // 8) * 8
+        y0a = (jnp.minimum(y0, H - sup_rows) // tile) * tile
         x0a = (jnp.minimum(x0, W - SUP_LANES) // 128) * 128
         return y0a, x0a, y0 - y0a, x0 - x0a
 
     b = pl.program_id(0)
-    copies = []
+    c = pl.program_id(1)
+    num_c = pl.num_programs(1)
+    slot = jax.lax.rem(c, 2)
+
+    def start(ref, s):
+        for g in range(group):
+            y0a, x0a, _, _ = aligned(ref, g)
+            pltpu.make_async_copy(
+                img_ref.at[b, pl.ds(y0a, sup_rows), pl.ds(x0a, SUP_LANES)],
+                scratch.at[s, g],
+                sems.at[s, g],
+            ).start()
+
+    @pl.when(c == 0)
+    def _prologue():  # first block of each frame pays full DMA latency
+        start(coords_ref, slot)
+
+    @pl.when(c + 1 < num_c)
+    def _prefetch():  # next block's copies overlap this block's rolls
+        start(next_ref, 1 - slot)
+
     for g in range(group):
-        y0a, x0a, _, _ = aligned(g)
-        dma = pltpu.make_async_copy(
-            img_ref.at[b, pl.ds(y0a, SUP_ROWS), pl.ds(x0a, SUP_LANES)],
-            scratch.at[g],
-            sems.at[g],
-        )
-        dma.start()
-        copies.append(dma)
-    for g, dma in enumerate(copies):
-        _, _, sh_y, sh_x = aligned(g)
-        dma.wait()
-        r = pltpu.roll(scratch[g], SUP_ROWS - sh_y, 0)
+        y0a, x0a, sh_y, sh_x = aligned(coords_ref, g)
+        pltpu.make_async_copy(
+            img_ref.at[b, pl.ds(y0a, sup_rows), pl.ds(x0a, SUP_LANES)],
+            scratch.at[slot, g],
+            sems.at[slot, g],
+        ).wait()
+        # Mosaic's dynamic rotate is 32-bit only ("Rotate with non-32-bit
+        # data" is not implemented): 16-bit patches upcast IN VMEM for
+        # the two rolls and truncate back — exact for the u8 integer
+        # grid, and the HBM traffic (the thing being halved) stays bf16.
+        tile16 = jnp.dtype(out_ref.dtype).itemsize == 2
+        block = scratch[slot, g]
+        r = block.astype(jnp.float32) if tile16 else block
+        r = pltpu.roll(r, sup_rows - sh_y, 0)
         r = pltpu.roll(r, SUP_LANES - sh_x, 1)
-        out_ref[0, g] = r[:32, :32]
+        r = r[:32, :32]
+        out_ref[0, g] = r.astype(out_ref.dtype) if tile16 else r
 
 
 @functools.partial(jax.jit, static_argnames=("group", "interpret"))
@@ -165,14 +209,21 @@ def gather_aligned_patches(
     group: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """img (B, H, W) f32, xy (B, N, 2) float pixel coords ->
+    """img (B, H, W) f32 or bf16, xy (B, N, 2) float pixel coords ->
     (B, N, 32, 32) patches with the keypoint at (15, 15) —
     the fused replacement for describe_matmul's slab row gather +
     masked-select lane alignment (measured 3.5 + ~3 ms of an 8-frame
     batch in XLA). Keypoints are clamped to [15, W-18] x [15, H-17]
-    (identical to the XLA path for detector-margin keypoints)."""
+    (identical to the XLA path for detector-margin keypoints).
+
+    Pass a PRE-QUANTIZED bf16 frame (`orb._quantize_u8(img).astype
+    (bfloat16)` — exact integers <= 255) to halve the DMA traffic:
+    quantize-then-gather is bit-identical to gather-then-quantize
+    because both are pointwise selections of the same values."""
     B, H, W = img.shape
     N = xy.shape[1]
+    tile = _sublane_tile(img.dtype)
+    sup_rows = _sup_rows(img.dtype)
     # Mosaic requires the coords SMEM block's sublane dim (= group) to be
     # a multiple of 8; pad the keypoint axis up and slice the output.
     n_pad = (-N) % group
@@ -186,28 +237,39 @@ def gather_aligned_patches(
     # sh_x <= 223 when W % 128 == 0 (otherwise right-edge keypoints get
     # sh_x up to 255 and `pltpu.roll` wraps the patch — silently corrupt
     # descriptors at the pyramid's 544/448-wide levels). Same for rows:
-    # sh_y <= 8 needs H % 8 == 0. Padding costs one fused copy (~10 us),
-    # and padded columns are never READ for in-bounds keypoints.
+    # sh_y <= tile needs H % tile == 0. Padding costs one fused copy
+    # (~10 us), and padded columns are never READ for in-bounds keypoints.
     cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 15, W - 18)
     cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 15, H - 17)
     coords = jnp.stack([cy - 15, cx - 15], axis=-1)  # (B, N(+pad), 2)
-    Hp = max(SUP_ROWS, H + ((-H) % 8))
+    Hp = max(sup_rows, H + ((-H) % tile))
     Wp = max(SUP_LANES, W + ((-W) % 128))
     if (Hp, Wp) != (H, W):
         img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W)))
         H, W = Hp, Wp
 
-    # Coords ride a BLOCKED SMEM operand — one (1, group, 2) tile per
-    # grid step — instead of scalar prefetch, which stages the ENTIRE
-    # (B, N, 2) array in 1 MB SMEM and overflows at production N.
+    # Coords ride BLOCKED SMEM operands — one (1, group, 2) tile per
+    # grid step (scalar prefetch would stage the ENTIRE (B, N, 2) array
+    # in SMEM and overflow at production N). The same array is passed
+    # TWICE with the second index map one block ahead, giving the kernel
+    # next step's coordinates for the double-buffered DMA prefetch.
     Np = N + n_pad
+    num_c = Np // group
     out = pl.pallas_call(
-        functools.partial(_aligned_patch_kernel, group=group, H=H, W=W),
+        functools.partial(
+            _aligned_patch_kernel,
+            group=group, H=H, W=W, tile=tile, sup_rows=sup_rows,
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Np, 32, 32), img.dtype),
-        grid=(B, Np // group),
+        grid=(B, num_c),
         in_specs=[
             pl.BlockSpec(
                 (1, group, 2), lambda b, c: (b, c, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, group, 2),
+                lambda b, c: (b, jnp.minimum(c + 1, num_c - 1), 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -216,9 +278,9 @@ def gather_aligned_patches(
             (1, group, 32, 32), lambda b, c: (b, c, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((group, SUP_ROWS, SUP_LANES), img.dtype),
-            pltpu.SemaphoreType.DMA((group,)),
+            pltpu.VMEM((2, group, sup_rows, SUP_LANES), img.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
         ],
         interpret=interpret,
-    )(coords, img)
+    )(coords, coords, img)
     return out[:, :N]

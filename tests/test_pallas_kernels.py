@@ -97,6 +97,33 @@ def test_aligned_patch_kernel_non_128_width(rng):
             assert np.array_equal(out[0, n], ref), (H, W, n)
 
 
+def test_aligned_patch_kernel_bf16_prequantized(rng):
+    """The production TPU path DMAs the pre-quantized bf16 frame (16-
+    sublane tiling -> 48-row supersets). Patches must equal the direct
+    slice of the quantized frame bit-exactly — including edges — which
+    also proves quantize-then-gather == gather-then-quantize."""
+    for H, W in [(48, 256), (59, 300), (408, 544)]:
+        B, N = 1, 16
+        img = jnp.asarray(rng.uniform(0, 1, size=(B, H, W)).astype(np.float32))
+        imgq = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.bfloat16)
+        xs = np.concatenate(
+            [np.linspace(W - 40, W + 5, 8), np.linspace(10, W - 60, 8)]
+        )
+        ys = np.concatenate(
+            [np.linspace(H - 30, H + 2, 8), np.linspace(10, H - 40, 8)]
+        )
+        xy = jnp.asarray(np.stack([xs, ys], axis=-1)[None].astype(np.float32))
+        out = np.asarray(
+            ppatches.gather_aligned_patches(imgq, xy, interpret=True)
+        )
+        im = np.asarray(imgq)
+        for n in range(N):
+            cx = int(np.clip(round(float(xy[0, n, 0])), 15, W - 18))
+            cy = int(np.clip(round(float(xy[0, n, 1])), 15, H - 17))
+            ref = im[0, cy - 15 : cy + 17, cx - 15 : cx + 17]
+            assert np.array_equal(out[0, n], ref), (H, W, n)
+
+
 def test_aligned_patch_kernel_non_8_height(rng):
     """H % 8 != 0: bottom-edge keypoints need the row padding too
     (sh_y <= 8 only holds when H is a multiple of 8)."""
