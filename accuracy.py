@@ -166,6 +166,18 @@ def main():
     ap.add_argument("--out", default=str(REPO / "ACCURACY.json"))
     ap.add_argument("--skip-learned", action="store_true")
     ap.add_argument("--skip-dynamic", action="store_true")
+    ap.add_argument("--skip-loop", action="store_true")
+    ap.add_argument(
+        "--learned-ckpt",
+        default=str(REPO / "artifacts" / "frontend_tiny" / "best_model"),
+        help="orbax checkpoint for the learned row",
+    )
+    ap.add_argument(
+        "--learned-config",
+        default=str(REPO / "configs" / "train_tiny_synthetic.yaml"),
+        help="training YAML matching --learned-ckpt's model dims",
+    )
+    ap.add_argument("--learned-scale", type=float, default=0.4)
     args = ap.parse_args()
 
     import jax
@@ -199,41 +211,42 @@ def main():
     cfg = system.SlamConfig()
 
     # ---- loop rows ----
-    t0 = time.time()
-    seq_h = synthetic.make_loop_sequence(
-        num_frames=args.loop_frames, scale=args.scale, harsh=True
-    )
-    data_h = _render(seq_h)
-    seq_c = synthetic.make_loop_sequence(
-        num_frames=args.loop_frames, scale=args.scale, harsh=False
-    )
-    data_c = _render(seq_c)
-    print(f"[accuracy] rendered 2x{args.loop_frames} loop frames "
-          f"in {time.time()-t0:.0f}s", flush=True)
+    if not args.skip_loop:
+        t0 = time.time()
+        seq_h = synthetic.make_loop_sequence(
+            num_frames=args.loop_frames, scale=args.scale, harsh=True
+        )
+        data_h = _render(seq_h)
+        seq_c = synthetic.make_loop_sequence(
+            num_frames=args.loop_frames, scale=args.scale, harsh=False
+        )
+        data_c = _render(seq_c)
+        print(f"[accuracy] rendered 2x{args.loop_frames} loop frames "
+              f"in {time.time()-t0:.0f}s", flush=True)
 
-    feats_h = _extract_classic(data_h["gray"], data_h["depth"], args.keypoints)
-    feats_c = _extract_classic(data_c["gray"], data_c["depth"], args.keypoints)
-    loop_kw = dict(min_score=0.30, min_frame_gap=60, min_inliers=25)
+        feats_h = _extract_classic(data_h["gray"], data_h["depth"], args.keypoints)
+        feats_c = _extract_classic(data_c["gray"], data_c["depth"], args.keypoints)
+        loop_kw = dict(min_score=0.30, min_frame_gap=60, min_inliers=25)
 
-    rows_hc = _run_rows(data_h, feats_h, seq_h.cam, cfg, seeds, True, **loop_kw)
-    rows_ho = _run_rows(data_h, feats_h, seq_h.cam, cfg, seeds, False)
-    rows_cc = _run_rows(data_c, feats_c, seq_c.cam, cfg, seeds, True, **loop_kw)
-    result["rows"]["loop_harsh_closure"] = {
-        "runs": rows_hc, "ate": _summary(rows_hc)
-    }
-    result["rows"]["loop_harsh_odom"] = {
-        "runs": rows_ho, "ate": _summary(rows_ho)
-    }
-    result["rows"]["loop_clean_closure"] = {
-        "runs": rows_cc, "ate": _summary(rows_cc)
-    }
-    result["comparisons"]["closure_vs_odom_harsh"] = stats.wilcoxon_signed_rank(
-        [r["ate_rmse"] for r in rows_hc], [r["ate_rmse"] for r in rows_ho]
-    )
-    print(f"[accuracy] loop rows done: harsh+closure "
-          f"{result['rows']['loop_harsh_closure']['ate']['mean']:.4f} m, "
-          f"odom {result['rows']['loop_harsh_odom']['ate']['mean']:.4f} m",
-          flush=True)
+        rows_hc = _run_rows(data_h, feats_h, seq_h.cam, cfg, seeds, True, **loop_kw)
+        rows_ho = _run_rows(data_h, feats_h, seq_h.cam, cfg, seeds, False)
+        rows_cc = _run_rows(data_c, feats_c, seq_c.cam, cfg, seeds, True, **loop_kw)
+        result["rows"]["loop_harsh_closure"] = {
+            "runs": rows_hc, "ate": _summary(rows_hc)
+        }
+        result["rows"]["loop_harsh_odom"] = {
+            "runs": rows_ho, "ate": _summary(rows_ho)
+        }
+        result["rows"]["loop_clean_closure"] = {
+            "runs": rows_cc, "ate": _summary(rows_cc)
+        }
+        result["comparisons"]["closure_vs_odom_harsh"] = stats.wilcoxon_signed_rank(
+            [r["ate_rmse"] for r in rows_hc], [r["ate_rmse"] for r in rows_ho]
+        )
+        print(f"[accuracy] loop rows done: harsh+closure "
+              f"{result['rows']['loop_harsh_closure']['ate']['mean']:.4f} m, "
+              f"odom {result['rows']['loop_harsh_odom']['ate']['mean']:.4f} m",
+              flush=True)
 
     # ---- dynamic-scene rows (semantics off/on) ----
     if not args.skip_dynamic:
@@ -274,22 +287,23 @@ def main():
               flush=True)
 
     # ---- learned-frontend row (vs classic on the same sequence) ----
-    ckpt = REPO / "artifacts" / "frontend_tiny" / "best_model"
+    ckpt = Path(args.learned_ckpt)
     if not args.skip_learned and ckpt.exists():
         from semantic_slam_master_tpu.slam import tracking
         from semantic_slam_master_tpu.train import config as config_mod, trainer
 
-        tcfg = config_mod.load_config(
-            str(REPO / "configs" / "train_tiny_synthetic.yaml")
-        )
+        tcfg = config_mod.load_config(args.learned_config)
         model, state = trainer.create_train_state(tcfg, steps_per_epoch=1)
         state, _ = trainer.restore_checkpoint(str(ckpt), state)
         variables = {
             "params": trainer.merge_params(state.trainable, state.frozen),
             "batch_stats": state.batch_stats,
         }
-        # 256x192 (both /16) keeps the ViT patch grid exact.
-        seq_l = synthetic.make_sequence(num_frames=args.dyn_frames, scale=0.4)
+        # Default 0.4 -> 256x192 (both /16) keeps the ViT patch grid
+        # exact; use 0.8 -> 512x384 for the 448-px ViT-S checkpoint.
+        seq_l = synthetic.make_sequence(
+            num_frames=args.dyn_frames, scale=args.learned_scale
+        )
         data_l = _render(seq_l, want_rgb=True)
 
         ext = jax.jit(
@@ -328,16 +342,26 @@ def main():
               flush=True)
 
     Path(args.out).write_text(json.dumps(result, indent=1))
-    head = {
-        "metric": "ATE RMSE (m), harsh 320-frame loop, online SLAM + closure",
-        "value": result["rows"]["loop_harsh_closure"]["ate"]["mean"],
-        "ci95": result["rows"]["loop_harsh_closure"]["ate"].get(
-            "ci95_half_width"
-        ),
-        "odom_ate": result["rows"]["loop_harsh_odom"]["ate"]["mean"],
-        "closure_p": result["comparisons"]["closure_vs_odom_harsh"]["p_value"],
-        "out": str(args.out),
-    }
+    if "loop_harsh_closure" in result["rows"]:
+        head = {
+            "metric": "ATE RMSE (m), harsh 320-frame loop, online SLAM + closure",
+            "value": result["rows"]["loop_harsh_closure"]["ate"]["mean"],
+            "ci95": result["rows"]["loop_harsh_closure"]["ate"].get(
+                "ci95_half_width"
+            ),
+            "odom_ate": result["rows"]["loop_harsh_odom"]["ate"]["mean"],
+            "closure_p": result["comparisons"]["closure_vs_odom_harsh"]["p_value"],
+            "out": str(args.out),
+        }
+    elif result["rows"]:
+        first = next(iter(result["rows"]))
+        head = {
+            "metric": f"ATE RMSE (m), {first}",
+            "value": result["rows"][first]["ate"]["mean"],
+            "out": str(args.out),
+        }
+    else:
+        head = {"metric": "no rows selected", "value": None, "out": str(args.out)}
     print(json.dumps(head))
 
 

@@ -82,6 +82,15 @@ def _residuals_and_weights(
     Returns (r (K, M, 3), IRLS weights w (K, M), p_cam (K, M, 3),
     depth_scale (K, M) — the per-observation scale of the z-residual row,
     zero where no depth measurement exists).
+
+    The flat per-meter depth weight is a MEASURED choice (round-3
+    negative result): Kinect-model inverse-variance weighting
+    (sigma(z) = 1.2 mm + 1.9 mm (z-0.4)^2, Khoshelham & Elberink 2012)
+    was swept on the harsh 320-frame loop — anchored at sigma(1 m),
+    sigma(2 m), and as the raw 1/sigma — and every variant WORSENED ATE
+    (0.026 flat vs 0.034-0.044), as did flat 60/120/240: far depth
+    observations carry drift-anchoring signal worth more than their
+    noise costs, and the Huber kernel already bounds the outliers.
     """
     p_cam = jax.vmap(lambda T: lie.transform_points(T, points))(poses)  # (K,M,3)
     r_uv = project(p_cam, cam) - observations
