@@ -125,7 +125,11 @@ def main():
     seg_vars = seg.init(jax.random.PRNGKey(0), rgb[:1])
 
     def semantics(r):
-        logits = seg.apply(seg_vars, r)
+        # Production inference path: the decoder's native 1/4-res logits
+        # (full_res=False skips the param-free bilinear upsample), argmax
+        # and weight map at 1/4 res — `tracking.extract_features` samples
+        # keypoints directly off the low-res map.
+        logits = seg.apply(seg_vars, r, full_res=False)
         labels = jnp.argmax(logits, axis=-1)
         return seg_mod.class_weights_map(labels)
 

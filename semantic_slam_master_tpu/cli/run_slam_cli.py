@@ -149,7 +149,14 @@ def _semantic_weight_maps(rgb_np, labels_np, args):
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1,) + rgb_np.shape[1:3] + (3,))
         )["params"]
-    apply = jax.jit(lambda x: jnp.argmax(model.apply({"params": params}, x), -1))
+    # Production path: 1/4-res logits -> labels -> weight map. The
+    # full-res upsample is pure HBM cost; `tracking.extract_features`
+    # rescales keypoint coords onto the low-res map when sampling.
+    apply = jax.jit(
+        lambda x: jnp.argmax(
+            model.apply({"params": params}, x, full_res=False), -1
+        )
+    )
     chunks = []
     for i in range(0, len(rgb_np), 8):
         chunks.append(np.asarray(apply(jnp.asarray(rgb_np[i : i + 8]))))

@@ -61,8 +61,20 @@ class SemanticSegmenter(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, rgb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """rgb: (B, H, W, 3) in [0, 1] -> logits (B, H, W, num_classes)."""
+    def __call__(
+        self, rgb: jnp.ndarray, train: bool = False, full_res: bool = True
+    ) -> jnp.ndarray:
+        """rgb: (B, H, W, 3) in [0, 1] -> logits (B, H, W, num_classes).
+
+        ``full_res=False`` returns the decoder's native 1/4-resolution
+        logits (B, H/4, W/4, C) — the PRODUCTION inference path: the
+        final bilinear upsample is param-free and exists only for dense
+        full-res training losses/visualization, while SLAM consumes a
+        handful of per-keypoint samples. Skipping it (and the full-res
+        argmax/weight-map it forces downstream) removes the segmenter's
+        single most HBM-expensive stage; checkpoints are identical in
+        both modes.
+        """
         B, H, W, _ = rgb.shape
         w = self.width
         x1 = ConvBlock(w, strides=2, dtype=self.dtype)(rgb, train)  # /2
@@ -78,6 +90,8 @@ class SemanticSegmenter(nn.Module):
             self.num_classes, kernel_size=(1, 1), dtype=jnp.float32,
             name="classifier",
         )(y)
+        if not full_res:
+            return logits4
         return _resize(logits4, H, W)
 
 
@@ -106,10 +120,15 @@ def keypoint_semantic_weights(
     logits_or_labels: jnp.ndarray,
     xy: jnp.ndarray,
     class_weights: Sequence[float] = DEFAULT_CLASS_WEIGHTS,
+    image_size: tuple | None = None,
 ) -> jnp.ndarray:
     """Sample per-keypoint semantic weights at pixel coords (B, N, 2).
 
-    Accepts either logits (B, H, W, C) or an int label map (B, H, W).
+    Accepts either logits (B, Hm, Wm, C) or an int label map (B, Hm, Wm).
+    ``xy`` is in FULL-RES pixel coordinates; pass ``image_size=(H, W)``
+    when the map is lower resolution than the frame (the production
+    ``full_res=False`` segmenter path) and coordinates are rescaled,
+    pixel-center aligned, onto the map's grid.
     This is the glue between the segmenter and `slam.ba` confidence.
     """
     from ..ops.sampling import nearest_sample
@@ -118,6 +137,12 @@ def keypoint_semantic_weights(
         labels = predict_classes(logits_or_labels)
     else:
         labels = logits_or_labels
+    if image_size is not None:
+        H, W = image_size
+        Hm, Wm = labels.shape[1], labels.shape[2]
+        if (Hm, Wm) != (H, W):
+            scale = jnp.asarray([Wm / W, Hm / H], xy.dtype)
+            xy = (xy + 0.5) * scale - 0.5
     wmap = class_weights_map(labels, class_weights)
     return nearest_sample(wmap, xy)
 

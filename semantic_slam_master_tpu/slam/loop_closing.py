@@ -15,6 +15,7 @@ post-processing pass:
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -27,6 +28,32 @@ from . import bow, pnp, posegraph
 from .tracking import FrameFeatures
 
 
+@functools.lru_cache(maxsize=8)
+def _edge_pose_fn(cam: PinholeCamera):
+    """One jitted match+RANSAC program per camera, reused across every
+    loop candidate and every closing pass (keypoint counts are fixed
+    shapes, so one compile serves the whole sequence). ``cam`` is a
+    NamedTuple of python scalars — hashable, closed over as constants."""
+
+    @jax.jit
+    def fn(key, feats_i: FrameFeatures, feats_j: FrameFeatures):
+        m = matching.match_hamming(
+            feats_j.desc, feats_i.desc, feats_j.valid, feats_i.valid,
+            max_distance=64.0,
+        )
+        pts_j = backproject(feats_j.xy, feats_j.depth, cam)
+        xy_i = feats_i.xy[m.idx2]
+        d_i = feats_i.depth[m.idx2]
+        pts_i = backproject(xy_i, d_i, cam)
+        valid = m.valid & (d_i > 0.05)
+        result = pnp.ransac_pose(
+            key, pts_j, pts_i, xy_i, cam, valid, num_hypotheses=128
+        )
+        return result.pose, result.num_inliers, m.count()
+
+    return fn
+
+
 def _loop_edge_pose(
     key,
     feats_i: FrameFeatures,
@@ -36,18 +63,8 @@ def _loop_edge_pose(
 ):
     """Measured Z = T_i^{-1} T_j from features (maps cam-j points into
     cam-i). Returns (Z, num_inliers, num_matches)."""
-    m = matching.match_hamming(
-        feats_j.desc, feats_i.desc, feats_j.valid, feats_i.valid, max_distance=64.0
-    )
-    pts_j = backproject(feats_j.xy, feats_j.depth, cam)
-    xy_i = feats_i.xy[m.idx2]
-    d_i = feats_i.depth[m.idx2]
-    pts_i = backproject(xy_i, d_i, cam)
-    valid = m.valid & (d_i > 0.05)
-    result = pnp.ransac_pose(
-        key, pts_j, pts_i, xy_i, cam, valid, num_hypotheses=128
-    )
-    return result.pose, int(result.num_inliers), int(m.count())
+    pose, inl, cnt = _edge_pose_fn(cam)(key, feats_i, feats_j)
+    return pose, int(inl), int(cnt)
 
 
 def close_sequence_loops(

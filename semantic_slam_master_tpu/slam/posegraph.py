@@ -17,6 +17,7 @@ Gauge: pose 0 is pinned with a strong prior.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -93,23 +94,80 @@ def optimize(
     return poses
 
 
+_optimize_jit = jax.jit(optimize, static_argnames=("num_iters",))
+
+# Shape buckets for the online path: the keyframe count grows every
+# chunk and the loop-edge count grows every acceptance, and XLA compiles
+# one program per shape — unbucketed, a streaming run recompiles the
+# whole GN scan (jacfwd Jacobian and all) at every closing pass, which
+# dominated wall time (~hundreds of seconds per harsh 320-frame run).
+# Bucketing bounds compiles to O(log-ish F) cache misses per process.
+_K_BUCKET = 32
+_E_BUCKET = 8
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def close_loops(
     poses_kf: jnp.ndarray,
     loop_edges,  # [(i_kf, j_kf, T_rel (4,4), weight)]
     odometry_weight: float = 1.0,
     num_iters: int = 10,
+    pad_shapes: bool = True,
 ) -> jnp.ndarray:
     """Convenience wrapper: odometry chain + loop edges -> optimized
-    keyframe poses. ``T_rel`` measures T_i^{-1} T_j."""
-    ei, ej, eT, ew = chain_edges(poses_kf, odometry_weight)
-    if loop_edges:
-        li = jnp.asarray([e[0] for e in loop_edges], jnp.int32)
-        lj = jnp.asarray([e[1] for e in loop_edges], jnp.int32)
-        lT = jnp.stack([jnp.asarray(e[2]) for e in loop_edges])
-        lw = jnp.asarray([e[3] for e in loop_edges], jnp.float32)
+    keyframe poses. ``T_rel`` measures T_i^{-1} T_j.
+
+    With ``pad_shapes`` (the default) the keyframe and loop-edge counts
+    are padded to fixed buckets so repeated calls with growing graphs
+    hit the jit cache instead of recompiling: padding keyframes REPEAT
+    the last real pose (their chain-edge measurements are then exactly
+    identity, contributing zero residual at the solution and keeping H
+    well-conditioned), and padding loop edges are zero-weight self-edges
+    (exactly zero contribution). The returned slice matches the
+    unpadded solve to float tolerance.
+    """
+    K = int(poses_kf.shape[0])
+    if pad_shapes:
+        Kp = max(_round_up(K, _K_BUCKET), _K_BUCKET)
+        if Kp > K:
+            tail = jnp.broadcast_to(poses_kf[-1], (Kp - K, 4, 4))
+            poses_pad = jnp.concatenate([poses_kf, tail], axis=0)
+        else:
+            poses_pad = poses_kf
+    else:
+        Kp, poses_pad = K, poses_kf
+
+    ei, ej, eT, ew = chain_edges(poses_pad, odometry_weight)
+    n_loop = len(loop_edges)
+    Ep = (
+        max(_round_up(n_loop, _E_BUCKET), _E_BUCKET) if pad_shapes else n_loop
+    )
+    if Ep:
+        li = jnp.zeros((Ep,), jnp.int32)
+        lj = jnp.zeros((Ep,), jnp.int32)
+        lT = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (Ep, 4, 4))
+        lw = jnp.zeros((Ep,), jnp.float32)
+        if n_loop:
+            li = li.at[:n_loop].set(
+                jnp.asarray([e[0] for e in loop_edges], jnp.int32)
+            )
+            lj = lj.at[:n_loop].set(
+                jnp.asarray([e[1] for e in loop_edges], jnp.int32)
+            )
+            lT = lT.at[:n_loop].set(
+                jnp.stack([jnp.asarray(e[2], jnp.float32) for e in loop_edges])
+            )
+            lw = lw.at[:n_loop].set(
+                jnp.asarray([e[3] for e in loop_edges], jnp.float32)
+            )
         ei = jnp.concatenate([ei, li])
         ej = jnp.concatenate([ej, lj])
         eT = jnp.concatenate([eT, lT])
         ew = jnp.concatenate([ew, lw])
-    graph = PoseGraph(poses=poses_kf, edge_i=ei, edge_j=ej, edge_T=eT, edge_weight=ew)
-    return optimize(graph, num_iters=num_iters)
+    graph = PoseGraph(
+        poses=poses_pad, edge_i=ei, edge_j=ej, edge_T=eT, edge_weight=ew
+    )
+    return _optimize_jit(graph, num_iters=num_iters)[:K]

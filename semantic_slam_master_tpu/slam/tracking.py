@@ -85,10 +85,12 @@ def extract_features(
 
     Keypoints with invalid (zero) depth stay in the arrays but are
     masked — fixed shapes throughout. ``weight_map`` is an optional
-    per-pixel semantic residual weight (F, H, W) — e.g. from
+    per-pixel semantic residual weight (F, Hm, Wm) — e.g. from
     ``models.segmenter.class_weights_map`` — sampled at keypoints into
     ``sem_weight`` (the north-star "semantic labels weighting the
-    reprojection residuals" hook).
+    reprojection residuals" hook). The map may be LOWER resolution than
+    the frame (the segmenter's production path emits 1/4-res maps);
+    keypoint coordinates are rescaled to the map's grid before sampling.
     """
     levels = build_pyramid(gray, num_levels, scale_factor)
     areas = np.array([p.shape[1] * p.shape[2] for p in levels], dtype=np.float64)
@@ -123,7 +125,14 @@ def extract_features(
     if weight_map is None:
         sem_w = jnp.ones_like(d)
     else:
-        sem_w = nearest_sample(weight_map, xy)
+        Hm, Wm = weight_map.shape[1], weight_map.shape[2]
+        if (Hm, Wm) != (H0, W0):
+            # Pixel-center-aligned rescale onto the low-res map's grid.
+            scale = jnp.asarray([Wm / W0, Hm / H0], xy.dtype)
+            xy_m = (xy + 0.5) * scale - 0.5
+        else:
+            xy_m = xy
+        sem_w = nearest_sample(weight_map, xy_m)
     return FrameFeatures(
         xy=xy, desc=desc, depth=d, valid=valid, score=score, sem_weight=sem_w
     )

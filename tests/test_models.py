@@ -144,6 +144,73 @@ def test_semantic_weights_downweight_person():
     assert np.isclose(float(w[0, 0]), segmenter_mod.DEFAULT_CLASS_WEIGHTS[4])
 
 
+def test_segmenter_low_res_production_path():
+    """full_res=False logits are the pre-upsample decoder output: same
+    params, 1/4 spatial dims, and keypoint weights sampled off the
+    low-res map (via image_size rescaling) agree with full-res sampling
+    away from label boundaries."""
+    model = segmenter_mod.SemanticSegmenter(width=8)
+    rgb = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(1, 64, 80, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), rgb)
+    lo = model.apply(variables, rgb, full_res=False)
+    hi = model.apply(variables, rgb)
+    assert lo.shape == (1, 16, 20, segmenter_mod.NUM_CLASSES)
+    assert hi.shape == (1, 64, 80, segmenter_mod.NUM_CLASSES)
+    # The full-res logits are exactly the bilinear upsample of the
+    # low-res ones (the upsample is param-free).
+    import jax as _jax
+
+    up = _jax.image.resize(lo, hi.shape, method="bilinear")
+    np.testing.assert_allclose(np.asarray(up), np.asarray(hi), atol=1e-5)
+
+    # Weight sampling: low-res LABELS + image_size rescaling must agree
+    # with nearest-upsampled full-res labels at every full-res pixel
+    # (exact nearest-neighbor semantics, no interpolation ambiguity).
+    labels_lo = jnp.asarray(
+        np.random.default_rng(4).integers(0, 6, size=(1, 16, 20)), jnp.int32
+    )
+    labels_hi = jnp.repeat(jnp.repeat(labels_lo, 4, axis=1), 4, axis=2)
+    xs, ys = np.meshgrid(np.arange(80), np.arange(64))
+    xy = jnp.asarray(
+        np.stack([xs.ravel(), ys.ravel()], -1)[None], jnp.float32
+    )
+    w_lo = segmenter_mod.keypoint_semantic_weights(
+        labels_lo, xy, image_size=(64, 80)
+    )
+    w_hi = segmenter_mod.keypoint_semantic_weights(labels_hi, xy)
+    np.testing.assert_allclose(np.asarray(w_lo), np.asarray(w_hi))
+
+
+def test_extract_features_low_res_weight_map():
+    """extract_features samples a low-res weight map with pixel-center
+    aligned coordinate rescaling — a map block's weight lands on every
+    keypoint inside the corresponding full-res region."""
+    from semantic_slam_master_tpu.slam import tracking
+
+    rng = np.random.default_rng(0)
+    gray = jnp.asarray(rng.uniform(size=(1, 96, 128)), jnp.float32)
+    depth = jnp.ones((1, 96, 128), jnp.float32)
+    # 1/4-res map: left half weight 0.05, right half 1.0.
+    wmap = np.ones((1, 24, 32), np.float32)
+    wmap[:, :, :16] = 0.05
+    feats = tracking.extract_features(
+        gray, depth, num_keypoints=64, weight_map=jnp.asarray(wmap),
+        num_levels=1,
+    )
+    xy = np.asarray(feats.xy[0])
+    sw = np.asarray(feats.sem_weight[0])
+    valid = np.asarray(feats.valid[0])
+    # Keypoints clearly inside each half (away from the 4-px boundary
+    # column) must carry that half's weight.
+    left = valid & (xy[:, 0] < 60)
+    right = valid & (xy[:, 0] > 68)
+    assert left.any() and right.any()
+    assert np.allclose(sw[left], 0.05)
+    assert np.allclose(sw[right], 1.0)
+
+
 def test_frontend_end_to_end():
     model = frontend_mod.tiny_frontend()
     imgs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32)
