@@ -28,3 +28,9 @@ def main(argv=None):
         for row in assoc:
             print(" ".join(str(v) for v in row))
     return 0
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

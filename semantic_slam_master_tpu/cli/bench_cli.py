@@ -64,3 +64,9 @@ def main(argv=None):
         with open(args.output, "w") as f:
             json.dump(result, f, indent=2, default=float)
     return 0
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

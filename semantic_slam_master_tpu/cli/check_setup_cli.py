@@ -85,3 +85,9 @@ def main(argv=None):
 
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

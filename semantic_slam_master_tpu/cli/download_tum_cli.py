@@ -73,3 +73,9 @@ def main(argv=None):
         print(f"[{'complete' if st['complete'] else 'incomplete'}] {name}")
         ok &= st["complete"] or args.verify_only
     return 0 if ok else 1
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

@@ -91,3 +91,9 @@ def main(argv=None):
         print(f"\nfailed: {failed}")
     print(f"\nresults: {out_path}\nplots:   {plot_dir}/")
     return 0
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

@@ -340,3 +340,9 @@ def main(argv=None):
     for name, r in results.items():
         print(f"{name}: {r}")
     return 0
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

@@ -141,3 +141,9 @@ def main(argv=None):
     Path(args.output).write_text(json.dumps(strip_per_pair(all_results), indent=2))
     print(f"results: {args.output}")
     return 0 if all(r["all_passed"] for r in all_results.values()) else 1
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

@@ -251,3 +251,9 @@ def main(argv=None):
         sink.close()
     print(f"done; best checkpoint in {Path(cfg.training.save_dir) / 'best_model'}")
     return 0
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

@@ -43,3 +43,9 @@ def main(argv=None):
         f"(final loss={metrics['loss']:.4f}, acc={metrics['accuracy']:.3f})"
     )
     return 0
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)

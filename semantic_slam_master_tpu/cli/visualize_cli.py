@@ -125,3 +125,9 @@ def main(argv=None):
         print(counts)
         print(f"wrote {out_dir / 'matches_sequence.png'}")
     return 0
+
+
+if __name__ == "__main__":  # direct `python -m ...cli.x` use
+    import sys as _sys
+
+    _sys.exit(main() or 0)
