@@ -167,16 +167,24 @@ def detect(
     nms_radius: int = 3,
     margin: int = 16,
     subpixel: bool = False,
+    score_weight: jnp.ndarray | None = None,
 ) -> Keypoints:
     """FAST keypoints with NMS and fixed-K top-k selection.
 
     ``margin`` should cover the descriptor patch radius (ORB uses 31x31
     patches -> margin >= 16 keeps descriptor sampling in-bounds).
     ``subpixel`` applies `refine_subpixel` to the returned coordinates.
+    ``score_weight`` (B, H, W) multiplies the corner scores BEFORE NMS
+    and top-k, steering the fixed keypoint budget away from down-weighted
+    (e.g. dynamic-class) pixels; sub-pixel refinement still fits the RAW
+    corner response so the weight steps at class boundaries cannot bias
+    keypoint geometry.
     """
     B, H, W = gray.shape
     score = fast_score(gray, threshold)
     raw_score = score
+    if score_weight is not None:
+        score = score * score_weight
     # NMS with LEXICOGRAPHIC (score, index) tie-breaking: keep local
     # maxima, and among exact-score ties within one NMS window keep only
     # the highest flat index. Exact ties happen on textured plateaus, and

@@ -99,10 +99,21 @@ def orientations_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
     theta = atan2(m01, m10) with m10 = sum x*I, m01 = sum y*I over the
     circular 31x31 patch (ORB paper eq. 2-3). The moment sums are one
     (B*N, 961) x (961, 2) matmul — MXU work, not reductions.
+
+    Exact for quantized integer intensities: with I <= 255 and |x| <= 15
+    every product (<= 3825) is exact in bf16/f32 and the f32-accumulated
+    moment sums stay below 2^24, so the result is bit-identical across
+    backends and accumulation orders (the property the describe paths'
+    cross-parity relies on).
     """
     B, N = patches.shape[:2]
     w = jnp.stack([jnp.asarray(_WX).ravel(), jnp.asarray(_WY).ravel()], axis=-1)
-    m = patches.reshape(B, N, -1) @ w  # (B, N, 2)
+    m = jnp.einsum(
+        "bnp,pk->bnk",
+        patches.reshape(B, N, -1),
+        w,
+        preferred_element_type=jnp.float32,
+    )  # (B, N, 2)
     return jnp.arctan2(m[..., 1], m[..., 0])
 
 
@@ -228,6 +239,20 @@ def _quantize_u8(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0)
 
 
+def _patch_centers(xy: jnp.ndarray, H: int, W: int):
+    """Clamped integer patch centers shared by ALL describe paths:
+    cx in [15, W-18], cy in [15, H-17] — the Pallas aligned-gather's
+    bounds (`ops/pallas/patches.py`), adopted everywhere so the gather /
+    matmul / Pallas paths sample identical patches (and therefore produce
+    bit-identical orientations and descriptors) even for keypoints the
+    clamp moves. Detector margins (>= 16) make the clamp a no-op in
+    production."""
+    r = PATCH_RADIUS
+    cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), r, W - 18)
+    cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), r, H - 17)
+    return cx, cy
+
+
 def describe_gather(
     img: jnp.ndarray,
     xy: jnp.ndarray,
@@ -240,20 +265,24 @@ def describe_gather(
     `describe_matmul` replaces this on the hot path)."""
     if not prefiltered:
         img = gaussian_blur(img, sigma=blur_sigma, radius=3)
+    B, H, W = img.shape
+    cx, cy = _patch_centers(xy, H, W)
     if theta is None:
-        # Dense disc-moment maps + two lookups — replaces the per-keypoint
-        # 961-pixel patch gather that dominated frontend time on TPU.
-        theta = orientations_dense(img, xy)
+        # Dense disc-moment maps + two lookups, on the QUANTIZED image at
+        # the CLAMPED centers — OpenCV computes the IC angle on the uint8
+        # image, and the matmul path derives the same theta from its
+        # quantized patches at the same centers, so the paths stay
+        # bit-identical (integer moment sums < 2^24 are exact in f32 in
+        # any order, and clamped centers are >= 15 px interior where the
+        # dense maps are disc-exact).
+        cxy = jnp.stack([cx, cy], axis=-1).astype(img.dtype)
+        theta = orientations_dense(_quantize_u8(img), cxy)
 
     offs = _steered_offsets(theta)  # (B, N, 256, 4)
 
     # Sample the 2x256 test points straight from the (blurred) image with
     # one flat gather — half the gathered elements of the patch approach
     # and no intermediate patch tensor.
-    B, H, W = img.shape
-    r = PATCH_RADIUS
-    cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), r, W - 1 - r)
-    cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), r, H - 1 - r)
     ax = cx[..., None] + offs[..., 0].astype(jnp.int32)
     ay = cy[..., None] + offs[..., 1].astype(jnp.int32)
     bx = cx[..., None] + offs[..., 2].astype(jnp.int32)
@@ -325,8 +354,8 @@ def describe_matmul(
        constants computes I(b_t) - I(a_t) for every angle bin at once
        (MXU), then a row gather picks each keypoint's own bin.
 
-    Requires W % 32 == 0. Bit-identical to `describe_gather` for interior
-    keypoints.
+    Requires W % 32 == 0. Bit-identical to `describe_gather` for all
+    keypoints (all paths share `_patch_centers`' clamp).
 
     Measured cost split at (B=8, N=1000, 640x480) on a v5e core
     (marginal-timed, round 3): Pallas aligned-superset patch gather
@@ -342,18 +371,20 @@ def describe_matmul(
     """
     if not prefiltered:
         img = gaussian_blur(img, sigma=blur_sigma, radius=3)
-    if theta is None:
-        theta = orientations_dense(img, xy)
-    offs_bins = _steered_bins(theta)  # (B, N)
+    # theta=None is resolved INSIDE _describe_from_aligned from the
+    # already-gathered quantized patches (one tiny MXU matmul) instead of
+    # dense disc-moment maps over the full image (~190 shift-add passes
+    # of pure HBM traffic per call) — same integer moments, bit-identical
+    # to the gather path's quantized orientations_dense for interior
+    # keypoints, at a fraction of the bytes.
 
     B, H, W = img.shape
     N = xy.shape[1]
     r = PATCH_RADIUS
-    # Right clamp is W-18 (2 px tighter than the gather path) so the
-    # 64-wide slab and the 32-entry shift table stay in range; detector
-    # margins (>= 16) make this reachable only by synthetic inputs.
-    cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), r, W - 18)
-    cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), r, H - 1 - r)
+    # Shared clamp (see _patch_centers): keeps the 64-wide slab and the
+    # 32-entry shift table in range AND matches the gather/Pallas paths'
+    # centers exactly, so all paths describe the same pixels.
+    cx, cy = _patch_centers(xy, H, W)
 
     if jax.default_backend() == "tpu" and W >= 256 and H >= 40:
         # Fused Pallas gather+align: per-keypoint aligned-superset DMA +
@@ -367,7 +398,7 @@ def describe_matmul(
 
         imgq = _quantize_u8(img).astype(jnp.bfloat16)
         aligned = gather_aligned_patches(imgq, xy)
-        return _describe_from_aligned(aligned, offs_bins, prequantized=True)
+        return _describe_from_aligned(aligned, theta, prequantized=True)
 
     # --- 1. row-block slab gather ---
     nblk = W // 32
@@ -404,14 +435,20 @@ def describe_matmul(
         aligned = aligned + mask * mid[:, :, :, b : b + 32]
     # aligned: (B, N, 32, 32) with the keypoint at (15, 15)
 
-    return _describe_from_aligned(aligned, offs_bins)
+    return _describe_from_aligned(aligned, theta)
 
 
 def _describe_from_aligned(
-    aligned: jnp.ndarray, offs_bins: jnp.ndarray, prequantized: bool = False
+    aligned: jnp.ndarray, theta: jnp.ndarray | None, prequantized: bool = False
 ) -> jnp.ndarray:
     """All-bin difference tests on the MXU from centred (B, N, 32, 32)
     patches (keypoint at (15, 15)), then pick each keypoint's bin.
+
+    theta=None computes the intensity-centroid orientation from the same
+    quantized patches (31x31 window at the keypoint) — exact integer
+    moments, so it matches the gather path's quantized dense-moment
+    orientation bit-for-bit away from image borders while touching no
+    full-image moment maps.
 
     Quantized intensities are exact integers <= 255 — exactly
     representable in bf16 (8 mantissa bits cover integers to 256) —
@@ -438,9 +475,13 @@ def _describe_from_aligned(
     ops/pallas/patches.py), not this einsum."""
     B, N = aligned.shape[:2]
     if prequantized:  # bf16 frame already on the u8 integer grid
-        flat_q = aligned.reshape(B, N, 32 * 32).astype(jnp.bfloat16)
+        aligned_q = aligned
     else:
-        flat_q = _quantize_u8(aligned).reshape(B, N, 32 * 32).astype(jnp.bfloat16)
+        aligned_q = _quantize_u8(aligned)
+    if theta is None:
+        theta = orientations_from_patches(aligned_q[..., :31, :31])
+    offs_bins = _steered_bins(theta)  # (B, N)
+    flat_q = aligned_q.reshape(B, N, 32 * 32).astype(jnp.bfloat16)
     D = jnp.asarray(_BIN_SELECT).astype(jnp.bfloat16)  # (30, 256, 1024)
     diff = jnp.einsum(
         "bnp,wtp->bnwt", flat_q, D, preferred_element_type=jnp.float32
@@ -484,7 +525,7 @@ def describe_from_patches(
     patch-space variant (used with the Pallas patch kernel and as the
     parity reference for the direct-gather path in `describe`)."""
     if theta is None:
-        theta = orientations_from_patches(patches[..., :31, :31])
+        theta = orientations_from_patches(_quantize_u8(patches[..., :31, :31]))
     offs = _steered_offsets(theta)
     ps = patches.shape[-1]
     pa = (offs[..., 1] + PATCH_RADIUS) * ps + (offs[..., 0] + PATCH_RADIUS)

@@ -81,6 +81,14 @@ class SlamConfig(NamedTuple):
     keyframe_min_gap: int = 2
     match_max_distance: float = 64.0  # Hamming gate (packed ORB descriptors)
     match_min_cosine: float = 0.6  # cosine gate (learned float descriptors)
+    # Keypoints whose semantic/confidence weight falls below this never
+    # become landmarks (DynaSLAM-style exclusion of dynamic classes from
+    # the map, on top of residual down-weighting): a moving person's
+    # points would otherwise enter the map at weight 0.05 and drag both
+    # matching and BA as the person moves. 0.25 excludes CLASS_PERSON
+    # (weight 0.05, models/segmenter.py) while keeping every static class
+    # and typical learned-frontend confidences.
+    min_landmark_weight: float = 0.25
     ba_iters: int = 4
     max_depth: float = 10.0
     depth_weight: float = 30.0
@@ -297,14 +305,17 @@ def bootstrap_map(
         desc_dtype=features_first.desc.dtype,
     )
     eye = jnp.eye(4, dtype=jnp.float32)
+    insert_mask = features_first.valid & (
+        features_first.sem_weight >= cfg.min_landmark_weight
+    )
     state0 = _insert_landmarks(
-        state0, eye, features_first, features_first.valid,
+        state0, eye, features_first, insert_mask,
         features_first.sem_weight, cam,
     )
     # Observation row for the bootstrap keyframe: the landmarks it created.
-    lm_idx0 = (jnp.cumsum(features_first.valid) - 1) % cfg.num_landmarks
+    lm_idx0 = (jnp.cumsum(insert_mask) - 1) % cfg.num_landmarks
     return _write_keyframe(
-        state0, eye, features_first, lm_idx0, features_first.valid,
+        state0, eye, features_first, lm_idx0, insert_mask,
         features_first.sem_weight,
     )
 
@@ -373,8 +384,13 @@ def run_slam_steps(
 
         def make_keyframe(state):
             inl = result.inlier_mask
-            # Promote unmatched-but-valid keypoints to new landmarks.
-            new_mask = feats.valid & ~matched
+            # Promote unmatched-but-valid keypoints to new landmarks —
+            # except dynamic/low-confidence ones (min_landmark_weight).
+            new_mask = (
+                feats.valid
+                & ~matched
+                & (feats.sem_weight >= cfg.min_landmark_weight)
+            )
             state = _insert_landmarks(
                 state, T_wc, feats, new_mask, feats.sem_weight, cam
             )

@@ -102,8 +102,18 @@ def extract_features(
     for lvl, (img, quota) in enumerate(zip(levels, quotas)):
         # Sub-pixel geometric coordinates (fast.refine_subpixel) sharpen
         # PnP/BA residuals; descriptors still sample the pixel grid.
+        if weight_map is not None:
+            # Semantic detection bias: spend the fixed keypoint budget on
+            # static classes first (a person-dominated frame otherwise
+            # fills the budget with dynamic corners and starves PnP of
+            # static support). Nearest resize keeps exact class weights.
+            w_lvl = jax.image.resize(
+                weight_map, (img.shape[0],) + img.shape[1:], method="nearest"
+            )
+        else:
+            w_lvl = None
         kp = fast.detect(img, int(quota), threshold, nms_radius,
-                         subpixel=subpixel)
+                         subpixel=subpixel, score_weight=w_lvl)
         blurred = image.gaussian_blur(img, sigma=2.0, radius=3)
         desc = orb.describe(blurred, kp.xy, prefiltered=True)
         # Map to level-0 pixels via the ACTUAL resize ratio (shapes are
