@@ -149,3 +149,24 @@ def test_detect_subpixel_stays_near_integer_and_matches_base():
     assert np.allclose(np.asarray(base.score), np.asarray(sub.score))
     d = np.abs(np.asarray(sub.xy) - np.asarray(base.xy))
     assert d.max() <= 0.5 + 1e-6
+
+def test_detect_score_weight_steers_budget(rng):
+    """score_weight < 1 on one half steers the fixed budget to the other
+    half (the semantic detection-bias hook, slam/tracking.py)."""
+    from semantic_slam_master_tpu.data import synthetic
+
+    seq = synthetic.make_sequence(num_frames=1, scale=0.5)
+    gray = image.rgb_to_gray(jnp.asarray(seq.frame(0)["rgb"])[None])
+    W = gray.shape[2]
+    wmap = jnp.ones_like(gray).at[:, :, : W // 2].set(0.05)
+    kp_plain = fast.detect(gray, num_keypoints=100, threshold=0.05)
+    kp_bias = fast.detect(
+        gray, num_keypoints=100, threshold=0.05, score_weight=wmap
+    )
+    def left_share(kp):
+        v = np.asarray(kp.valid)[0]
+        return (np.asarray(kp.xy)[0][v][:, 0] < W // 2).mean()
+    assert left_share(kp_plain) > 0.25  # texture spans both halves
+    assert left_share(kp_bias) < left_share(kp_plain) * 0.5
+    # Weighting never fabricates keypoints outside the corner set.
+    assert np.asarray(kp_bias.valid).sum() <= np.asarray(kp_plain.valid).sum() + 100

@@ -51,3 +51,33 @@ def test_slam_deterministic():
     o1 = system.run_slam(jax.random.PRNGKey(3), feats, seq.cam, cfg)
     o2 = system.run_slam(jax.random.PRNGKey(3), feats, seq.cam, cfg)
     assert np.allclose(np.asarray(o1.poses_wc), np.asarray(o2.poses_wc))
+
+
+def test_low_weight_keypoints_never_become_landmarks():
+    """min_landmark_weight excludes dynamic-class keypoints from the map
+    (DynaSLAM-style): they stay matchable frame-side but never anchor it."""
+    import jax.numpy as jnp
+
+    from semantic_slam_master_tpu.slam import system, tracking
+
+    N = 32
+    cfg = system.SlamConfig(num_landmarks=64)
+    xy = jnp.stack(
+        [
+            jnp.linspace(40.0, 200.0, N),
+            jnp.full((N,), 60.0),
+        ],
+        axis=-1,
+    )
+    feats = tracking.FrameFeatures(
+        xy=xy,
+        desc=jnp.arange(N * 8, dtype=jnp.uint32).reshape(N, 8),
+        depth=jnp.full((N,), 2.0),
+        valid=jnp.ones((N,), bool),
+        score=jnp.ones((N,)),
+        sem_weight=jnp.where(jnp.arange(N) < 10, 0.05, 1.0),
+    )
+    from semantic_slam_master_tpu.core.camera import TUM_FR2
+
+    state = system.bootstrap_map(feats, TUM_FR2, cfg)
+    assert int(state.lm_valid.sum()) == N - 10
