@@ -140,3 +140,35 @@ def test_aligned_patch_kernel_non_8_height(rng):
         cy = int(np.clip(round(float(xy[0, n, 1])), 15, H - 17))
         ref = im[0, cy - 15 : cy + 17, cx - 15 : cx + 17]
         assert np.array_equal(out[0, n], ref), n
+
+
+def test_fast_score_kernel_matches_xla(rng):
+    """Single-pass Pallas FAST-9 response == XLA stencil away from the
+    3-px wrap ring (interpret mode; real-TPU dispatch shares this code).
+    Values agree to f32-sum-order tolerance and the NMS survivor set is
+    identical inside the detector margin."""
+    from semantic_slam_master_tpu.data import synthetic
+    from semantic_slam_master_tpu.ops import fast, image
+    from semantic_slam_master_tpu.ops.pallas import fast_score as pfs
+
+    assert np.array_equal(pfs._CIRCLE, fast.FAST_CIRCLE)
+
+    seq = synthetic.make_sequence(num_frames=2, scale=0.5)
+    gray = jnp.stack(
+        [image.rgb_to_gray(jnp.asarray(seq.frame(i)["rgb"])) for i in range(2)]
+    )
+    ref = np.asarray(fast.fast_score_xla(gray, 0.05))
+    got = np.asarray(pfs.fast_score_pallas(gray, 0.05, interpret=True))
+    assert got.shape == ref.shape
+    inner = (slice(None), slice(4, -4), slice(4, -4))
+    # Segment-test decisions are exact; scores match to sum-order noise.
+    assert np.array_equal(ref[inner] > 0, got[inner] > 0)
+    np.testing.assert_allclose(got[inner], ref[inner], atol=1e-5, rtol=1e-5)
+
+    # W=352 (not a lane multiple) exercises the pad path.
+    g2 = gray[:, :, :352]
+    ref2 = np.asarray(fast.fast_score_xla(g2, 0.05))
+    got2 = np.asarray(pfs.fast_score_pallas(g2, 0.05, interpret=True))
+    np.testing.assert_allclose(
+        got2[:, 4:-4, 4:-4], ref2[:, 4:-4, 4:-4], atol=1e-5, rtol=1e-5
+    )
