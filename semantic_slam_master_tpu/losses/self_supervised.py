@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.image import avg_pool_to, rgb_to_gray, sobel_magnitude
@@ -69,6 +70,98 @@ def descriptor_matching_loss(
         num_valid_images, 1
     )
     return jnp.where(num_valid_images > 0, mean_loss, fallback)
+
+
+def descriptor_matching_loss_hard(
+    desc1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    pairs: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    neg_ok: jnp.ndarray,
+    valid2: Optional[jnp.ndarray] = None,
+    temperature: float = 0.10,
+    cross_image: bool = True,
+    hard_margin: float = 0.2,
+    fallback: float = 0.1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """InfoNCE with hard-negative mining (TPU-build extension; round-3
+    verdict ask #1b — the trained descriptor's misses are *confident
+    lookalike-texture matches*, which plain in-frame InfoNCE never
+    pressures away).
+
+    Three upgrades over :func:`descriptor_matching_loss`:
+
+    1. **Spatial safe-radius masking** (``neg_ok``, (B, P, N) bool): a
+       frame-2 keypoint a few pixels from the true correspondence sees
+       nearly the same 3D surface, so punishing its similarity teaches
+       noise, not discrimination (R2D2/D2-Net both exclude a
+       neighborhood around the positive). Callers build ``neg_ok`` from
+       the GT warp distance (see :func:`gt_match_pairs` ``safe_radius``).
+    2. **Cross-image negatives**: every valid frame-2 descriptor from
+       the *other* batch images joins the negative pool. Lookalike
+       textures from other rooms are exactly the confusions the
+       acceptance harness counts as outliers.
+    3. **Hardest-negative margin** (second return): mean
+       ``relu(margin - pos_sim + max_neg_sim)`` over valid pairs — a
+       direct penalty on the single most confusing negative, which CE's
+       softmax dilutes once it is merely one of thousands.
+
+    desc1/desc2: (B, N, D) L2-normalized. pairs: (B, P, 2) int [i, j].
+    pair_valid: (B, P). Returns (ce_loss, hard_margin_loss), both
+    reduced like :func:`descriptor_matching_loss` (mean over valid
+    pairs per image, then over images with >= 1 valid pair).
+    """
+    B, N, D = desc2.shape
+    i_idx = pairs[..., 0]
+    j_idx = pairs[..., 1]
+    anchors = jnp.take_along_axis(desc1, i_idx[..., None], axis=1)  # (B, P, D)
+
+    sims = jnp.einsum("bpd,bnd->bpn", anchors, desc2)  # (B, P, N)
+    pos = jnp.take_along_axis(sims, j_idx[..., None], axis=-1)[..., 0]  # (B, P)
+
+    tgt = jax.nn.one_hot(j_idx, N, dtype=bool)  # (B, P, N)
+    allowed = neg_ok & ~tgt
+    if valid2 is not None:
+        allowed = allowed & valid2[:, None, :]
+
+    def _logits(s):
+        return jnp.clip(s / temperature, -50.0, 50.0)
+
+    neg_logits = jnp.where(allowed, _logits(sims), -1e9)
+    pos_logit = _logits(pos)
+    logit_list = [pos_logit[..., None], neg_logits]
+    neg_sims = jnp.where(allowed, sims, -1.0)
+    max_neg = neg_sims.max(axis=-1)  # (B, P)
+
+    if cross_image and B > 1:
+        cross = jnp.einsum("bpd,cnd->bpcn", anchors, desc2)  # (B, P, B, N)
+        other = ~jnp.eye(B, dtype=bool)  # exclude own image (handled above)
+        allow_c = other[:, None, :, None]
+        if valid2 is not None:
+            allow_c = allow_c & valid2[None, None, :, :]
+        cl = jnp.where(allow_c, _logits(cross), -1e9)
+        logit_list.append(cl.reshape(B, pairs.shape[1], B * N))
+        max_neg = jnp.maximum(
+            max_neg, jnp.where(allow_c, cross, -1.0).max(axis=(-2, -1))
+        )
+
+    all_logits = jnp.concatenate(logit_list, axis=-1)
+    mx = all_logits.max(axis=-1, keepdims=True)
+    logz = jnp.log(jnp.sum(jnp.exp(all_logits - mx), axis=-1)) + mx[..., 0]
+    ce = logz - pos_logit  # (B, P)
+    hard = jnp.maximum(hard_margin - pos + max_neg, 0.0)  # (B, P)
+
+    m = pair_valid.astype(ce.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    has_pairs = jnp.sum(m, axis=-1) > 0
+    n_img = jnp.maximum(jnp.sum(has_pairs), 1)
+
+    def _reduce(x, fb):
+        per_image = jnp.sum(x * m, axis=-1) / cnt
+        mean = jnp.sum(jnp.where(has_pairs, per_image, 0.0)) / n_img
+        return jnp.where(jnp.sum(has_pairs) > 0, mean, fb)
+
+    return _reduce(ce, fallback), _reduce(hard, 0.0)
 
 
 def descriptor_variance_loss(
@@ -227,6 +320,7 @@ def gt_match_pairs(
     T_21: jnp.ndarray,
     K2: jnp.ndarray | None = None,
     radius: float = 6.0,
+    safe_radius: float | None = None,
 ) -> tuple:
     """GT-warp correspondence pairing (TPU-build synthetic-recipe
     extension; see train.config.LossConfig.gt_supervision): each frame-1
@@ -234,7 +328,11 @@ def gt_match_pairs(
     depth+pose reprojection, valid when within ``radius`` px. One
     (B, K, K) distance matrix — no host loops.
 
-    Returns ((B, K, 2) int32 [i, j] pairs, (B, K) validity).
+    Returns ((B, K, 2) int32 [i, j] pairs, (B, K) validity). With
+    ``safe_radius`` set, also returns a (B, K1, K2) bool negative mask
+    for :func:`descriptor_matching_loss_hard`: frame-2 keypoints
+    farther than ``safe_radius`` px from the warped GT position (near
+    ones see almost the same surface — not legitimate negatives).
     """
     warped, ok = warp_points_depth(uv1, depth1, K, T_21, K2=K2)
     d2 = jnp.sum(
@@ -246,7 +344,14 @@ def gt_match_pairs(
     pair_valid = valid1 & ok & (dmin <= radius * radius)
     B, Kn = j.shape
     i = jnp.broadcast_to(jnp.arange(Kn, dtype=jnp.int32), (B, Kn))
-    return jnp.stack([i, j.astype(jnp.int32)], axis=-1), pair_valid
+    pairs = jnp.stack([i, j.astype(jnp.int32)], axis=-1)
+    if safe_radius is None:
+        return pairs, pair_valid
+    # For keypoints whose warp left the frame (ok=False) the distances
+    # are meaningless, but those rows are pair-invalid and contribute
+    # nothing to the loss anyway.
+    neg_ok = d2 > safe_radius * safe_radius
+    return pairs, pair_valid, neg_ok
 
 
 def localization_loss(
@@ -329,9 +434,18 @@ def total_loss(
     target_variance: float = 0.22,
     target_mean: float = 0.35,
     sparsity_penalty: float = 2.0,
+    neg_ok: Optional[jnp.ndarray] = None,
+    valid2: Optional[jnp.ndarray] = None,
+    cross_image: bool = True,
+    hard_margin: float = 0.2,
 ) -> LossBundle:
     """The reference's weighted 7-loss combination (`train.py:331-381`)
-    with its per-loss NaN fallbacks expressed as `where` guards."""
+    with its per-loss NaN fallbacks expressed as `where` guards.
+
+    With ``neg_ok`` set, the desc term switches to
+    :func:`descriptor_matching_loss_hard` (safe-radius + cross-image
+    negatives) and a ``hard`` hardest-negative margin component is added
+    under ``weights['hard']`` (default 0 — opt-in)."""
     w = dict(DEFAULT_WEIGHTS)
     if weights:
         w.update(weights)
@@ -339,11 +453,29 @@ def total_loss(
     def guard(x, fb):
         return jnp.where(jnp.isfinite(x), x, jnp.asarray(fb, x.dtype))
 
-    comps = {
-        "desc": guard(
+    if neg_ok is not None:
+        ce, hard = descriptor_matching_loss_hard(
+            desc1,
+            desc2,
+            pairs,
+            pair_valid,
+            neg_ok,
+            valid2=valid2,
+            temperature=temperature,
+            cross_image=cross_image,
+            hard_margin=hard_margin,
+        )
+        desc_term = guard(ce, 0.1)
+        hard_term = guard(hard, 0.0)
+    else:
+        desc_term = guard(
             descriptor_matching_loss(desc1, desc2, pairs, pair_valid, temperature),
             0.1,
-        ),
+        )
+        hard_term = None
+
+    comps = {
+        "desc": desc_term,
         "variance": guard(descriptor_variance_loss(desc1, min_variance=min_variance), 0.0),
         "repeat": guard(repeatability_loss(saliency1, saliency2), 0.0),
         "peakiness": guard(peakiness_loss(saliency1, target_variance), 0.0),
@@ -353,5 +485,7 @@ def total_loss(
             spatial_sparsity_loss(saliency1, penalty_weight=sparsity_penalty), 0.0
         ),
     }
-    total = sum(w[k] * comps[k] for k in comps)
+    if hard_term is not None:
+        comps["hard"] = hard_term
+    total = sum(w.get(k, 0.0) * comps[k] for k in comps)
     return LossBundle(total=total, components=comps)

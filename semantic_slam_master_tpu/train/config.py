@@ -121,6 +121,17 @@ class LossConfig:
     # below half the 16-px patch pitch, so the paired cell is
     # unambiguous even before the OffsetHead localizes.
     gt_match_radius: float = 6.0
+    # Hard-negative mining (TPU-build extension; requires
+    # gt_supervision — the safe-radius mask needs GT warp distances).
+    # See losses.descriptor_matching_loss_hard: safe-radius spatial
+    # masking + cross-image negatives + hardest-negative margin
+    # (weighted by weights['hard']).
+    hard_negatives: bool = False
+    # Frame-2 keypoints within this px radius of the warped GT position
+    # are NOT negatives (they see nearly the same surface).
+    safe_radius: float = 12.0
+    cross_image_negatives: bool = True
+    hard_margin: float = 0.2
 
 
 @dataclass

@@ -186,7 +186,8 @@ def _forward_pair(
         from ..models.backbone import patch_to_pixel as _p2p
 
         ps_ = model.patch_size
-        pairs, pair_valid = losses.gt_match_pairs(
+        use_hard = getattr(cfg.loss, "hard_negatives", False)
+        gt = losses.gt_match_pairs(
             _p2p(jax.lax.stop_gradient(xy1), ps_),
             _p2p(jax.lax.stop_gradient(xy2), ps_),
             kp1.valid,
@@ -196,10 +197,14 @@ def _forward_pair(
             extras["rel_pose"],
             K2=extras.get("K2"),
             radius=cfg.loss.gt_match_radius,
+            safe_radius=cfg.loss.safe_radius if use_hard else None,
         )
+        pairs, pair_valid = gt[0], gt[1]
+        neg_ok = gt[2] if use_hard else None
         loc_idx2, loc_valid = pairs[..., 1], pair_valid
     else:
         pairs, pair_valid = matching.matches_to_pairs(m, cfg.model.num_keypoints)
+        neg_ok = None
         loc_idx2, loc_valid = m.idx2, m.valid & kp1.valid
 
     bundle = losses.total_loss(
@@ -215,6 +220,10 @@ def _forward_pair(
         target_variance=cfg.loss.target_variance,
         target_mean=cfg.loss.sparsity_target,
         sparsity_penalty=cfg.loss.sparsity_penalty,
+        neg_ok=neg_ok,
+        valid2=kp2.valid if neg_ok is not None else None,
+        cross_image=getattr(cfg.loss, "cross_image_negatives", True),
+        hard_margin=getattr(cfg.loss, "hard_margin", 0.2),
     )
 
     # Uncertainty-head supervision (round-1 gap: the estimator received

@@ -140,3 +140,60 @@ def test_evo_cross_check():
 
     ours = ate_rpe.evaluate_trajectory(ts, gt, ts, est)["ate"]["rmse"]
     assert ours == pytest.approx(evo_rmse, rel=1e-3)
+
+
+def test_rpe_metric_delta_closed_form():
+    """Metric-delta pairing: a straight-line trajectory at 0.05 m/frame
+    with delta 1.0 m gives non-overlapping pairs every 20 frames; a
+    right-perturbation of the last pose is exactly one pair's error."""
+    n = 61  # path length 3.0 m -> pairs (0,20),(20,40),(40,60)
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = 0.05 * np.arange(n)
+
+    D_t = np.array([0.02, 0.0, -0.05])
+    D = np.eye(4)
+    D[:3, 3] = D_t
+    est = gt.copy()
+    est[60] = gt[60] @ D
+
+    rpe = ate_rpe.compute_rpe(gt, est, delta=1.0, delta_unit="meters")
+    expected = np.sqrt(np.linalg.norm(D_t) ** 2 / 3)
+    assert rpe["translation"]["rmse"] == pytest.approx(expected, rel=1e-9)
+
+    # Too short for the delta -> None (reference failure path)
+    assert (
+        ate_rpe.compute_rpe(gt[:10], est[:10], delta=1.0, delta_unit="meters")
+        is None
+    )
+
+    # evaluate_trajectory surfaces it as rpe_metric
+    ts = np.arange(n) / 30.0
+    res = ate_rpe.evaluate_trajectory(ts, gt, ts, est, rpe_delta_m=1.0)
+    assert "rpe_metric" in res
+    assert res["rpe_metric"]["translation"]["rmse"] == pytest.approx(
+        expected, rel=1e-9
+    )
+
+
+def test_rpe_metric_delta_evo_cross_check():
+    pytest.importorskip("evo")
+    from evo.core import metrics
+    from evo.core.trajectory import PoseTrajectory3D
+
+    gt = _random_trajectory(n=200, seed=9)
+    rng = np.random.default_rng(10)
+    est = gt.copy()
+    est[:, :3, 3] += rng.normal(0, 0.01, (len(gt), 3))
+    ts = np.arange(len(gt)) / 30.0
+    traj_gt = PoseTrajectory3D(poses_se3=list(gt), timestamps=ts)
+    traj_est = PoseTrajectory3D(poses_se3=list(est), timestamps=ts)
+    rpe = metrics.RPE(
+        metrics.PoseRelation.translation_part,
+        delta=1.0,
+        delta_unit=metrics.Unit.meters,
+        all_pairs=False,
+    )
+    rpe.process_data((traj_gt, traj_est))
+    evo_rmse = rpe.get_statistic(metrics.StatisticsType.rmse)
+    ours = ate_rpe.compute_rpe(gt, est, delta=1.0, delta_unit="meters")
+    assert ours["translation"]["rmse"] == pytest.approx(evo_rmse, rel=0.05)

@@ -240,3 +240,107 @@ def test_localization_loss_zero_at_true_correspondence(rng):
         uv1, far, valid, v2, depth, Km, T21, radius=3.0
     )
     assert not np.any(np.asarray(pv_far))
+
+
+def test_hard_loss_reduces_to_plain_infonce(rng):
+    """With all negatives allowed and no cross-image pool, the CE half of
+    the hard loss is EXACTLY descriptor_matching_loss (same math)."""
+    B, N, D, P = 3, 40, 16, 25
+    desc1 = jnp.asarray(_unit(rng, B, N, D))
+    desc2 = jnp.asarray(_unit(rng, B, N, D))
+    pairs = jnp.asarray(rng.integers(0, N, size=(B, P, 2)))
+    valid = jnp.asarray(rng.uniform(size=(B, P)) > 0.3)
+    plain = L.descriptor_matching_loss(desc1, desc2, pairs, valid)
+    ce, _ = L.descriptor_matching_loss_hard(
+        desc1, desc2, pairs, valid,
+        neg_ok=jnp.ones((B, P, N), bool), cross_image=False,
+    )
+    assert np.isclose(float(ce), float(plain), atol=1e-5)
+
+
+def test_hard_loss_safe_radius_excludes_lookalike(rng):
+    """A lookalike descriptor (identical to the anchor) next to the true
+    correspondence poisons plain InfoNCE; masking it via neg_ok removes
+    the penalty and zeroes the margin term."""
+    B, N, D = 1, 8, 16
+    desc2 = jnp.asarray(_unit(rng, B, N, D))
+    # anchor = the target descriptor; lookalike at index 1 = same vector
+    desc2 = desc2.at[0, 1].set(desc2[0, 0])
+    desc1 = desc2
+    pairs = jnp.asarray([[[0, 0]]], jnp.int32)  # anchor 0 -> target 0
+    valid = jnp.ones((1, 1), bool)
+
+    all_ok = jnp.ones((B, 1, N), bool)
+    ce_poisoned, hard_poisoned = L.descriptor_matching_loss_hard(
+        desc1, desc2, pairs, valid, all_ok, cross_image=False
+    )
+    masked = all_ok.at[0, 0, 1].set(False)  # lookalike inside safe radius
+    ce_clean, hard_clean = L.descriptor_matching_loss_hard(
+        desc1, desc2, pairs, valid, masked, cross_image=False
+    )
+    # identical lookalike -> CE >= ln 2, margin = full hard_margin
+    assert float(ce_poisoned) > float(ce_clean) + 0.5
+    assert np.isclose(float(hard_poisoned), 0.2, atol=1e-5)
+    assert float(hard_clean) < float(hard_poisoned)
+
+
+def test_hard_loss_cross_image_negatives(rng):
+    """A lookalike in ANOTHER batch image only raises the loss when
+    cross_image=True."""
+    B, N, D = 2, 8, 16
+    desc2 = jnp.asarray(_unit(rng, B, N, D))
+    desc2 = desc2.at[1, 3].set(desc2[0, 0])  # image-1 lookalike of image-0 target
+    desc1 = desc2
+    pairs = jnp.zeros((B, 1, 2), jnp.int32)
+    valid = jnp.asarray([[True], [False]])
+    neg_ok = jnp.ones((B, 1, N), bool)
+
+    ce_off, hard_off = L.descriptor_matching_loss_hard(
+        desc1, desc2, pairs, valid, neg_ok, cross_image=False
+    )
+    ce_on, hard_on = L.descriptor_matching_loss_hard(
+        desc1, desc2, pairs, valid, neg_ok, cross_image=True
+    )
+    assert float(ce_on) > float(ce_off) + 0.3
+    assert float(hard_on) > float(hard_off)
+
+
+def test_gt_match_pairs_safe_radius_mask(rng):
+    """safe_radius returns a negative mask: frame-2 keypoints within the
+    radius of the warp are excluded (False), far ones allowed (True)."""
+    B, K = 1, 4
+    H = W = 64
+    Km = jnp.asarray([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]], jnp.float32)
+    uv1 = jnp.asarray([[[20.0, 20.0], [40.0, 40.0], [20.0, 40.0], [40.0, 20.0]]])
+    depth = jnp.full((B, H, W), 2.0, jnp.float32)
+    T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    # identity pose -> warp = uv1; frame-2 keypoints AT uv1
+    uv2 = uv1
+    v = jnp.ones((B, K), bool)
+    pairs, pv, neg_ok = L.gt_match_pairs(
+        uv1, uv2, v, v, depth, Km, T, radius=3.0, safe_radius=12.0
+    )
+    m = np.asarray(neg_ok[0])
+    # each keypoint: its own position (dist 0) masked out; the others
+    # are >= 20 px away -> allowed
+    assert not np.any(np.diag(m))
+    assert np.all(m[~np.eye(K, dtype=bool)])
+    assert bool(np.all(np.asarray(pv)))
+
+
+def test_total_loss_hard_component_weighted(rng):
+    B, N, D = 2, 20, 8
+    desc = jnp.asarray(_unit(rng, B, N, D))
+    sal = jnp.asarray(rng.uniform(size=(B, 8, 8, 1)).astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(size=(B, 64, 64, 3)).astype(np.float32))
+    pairs = jnp.zeros((B, 4, 2), jnp.int32)
+    valid = jnp.ones((B, 4), bool)
+    neg_ok = jnp.ones((B, 4, N), bool)
+    bundle = L.total_loss(
+        desc, desc, pairs, valid, sal, sal, rgb,
+        weights={"hard": 2.0}, neg_ok=neg_ok, valid2=jnp.ones((B, N), bool),
+    )
+    assert "hard" in bundle.components
+    w = dict(L.DEFAULT_WEIGHTS, hard=2.0)
+    manual = sum(w[k] * float(v) for k, v in bundle.components.items())
+    assert np.isclose(float(bundle.total), manual, rtol=1e-5)
