@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..core import lie
 from ..core.camera import PinholeCamera, project
 from ..core.fixed import inv3x3
+from ..core.precision import f32_matmuls
 from .pnp import huber_weights
 
 
@@ -110,6 +111,7 @@ def _robust_cost(r, w):
 
 
 
+@f32_matmuls
 def bundle_adjust(
     problem: BAProblem,
     cam: PinholeCamera,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..core import lie
 from ..core.camera import PinholeCamera, project
+from ..core.precision import f32_matmuls
 
 
 def _inv4x4_sym(A: jnp.ndarray) -> jnp.ndarray:
@@ -56,6 +57,7 @@ def _inv4x4_sym(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+@f32_matmuls
 def kabsch(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -190,6 +192,7 @@ class PnPResult(NamedTuple):
     rmse: jnp.ndarray  # scalar — inlier reprojection rmse (px)
 
 
+@f32_matmuls
 def refine_pose(
     T_init: jnp.ndarray,
     points: jnp.ndarray,
@@ -244,6 +247,7 @@ def count_inliers(
     return jnp.sum(mask), mask
 
 
+@f32_matmuls
 def ransac_pose(
     key: jax.Array,
     points: jnp.ndarray,

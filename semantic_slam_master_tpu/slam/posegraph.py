@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..core.precision import f32_matmuls
 
 
 class PoseGraph(NamedTuple):
@@ -61,6 +62,7 @@ def _residuals(xi: jnp.ndarray, graph: PoseGraph) -> jnp.ndarray:
     return (err * w).reshape(-1)
 
 
+@f32_matmuls
 def optimize(
     graph: PoseGraph,
     num_iters: int = 10,
