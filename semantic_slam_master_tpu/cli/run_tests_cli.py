@@ -17,7 +17,10 @@ from pathlib import Path
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="run-tests", description=__doc__)
     parser.add_argument(
-        "--frontend", choices=("orb", "orb-pyramid", "learned"), default="orb"
+        "--frontend", choices=("orb", "orb-pyramid", "learned"),
+        default="orb-pyramid",
+        help="default is the production multi-scale path that ships into "
+             "SLAM (slam/tracking.extract_features)",
     )
     parser.add_argument("--num-levels", type=int, default=4,
                         help="pyramid levels for --frontend orb-pyramid")
@@ -38,6 +41,10 @@ def main(argv=None):
     parser.add_argument("--allow-train-overlap", action="store_true")
     parser.add_argument("--no-performance", action="store_true")
     parser.add_argument("--output", default="test_results.json")
+    parser.add_argument("--no-plots", action="store_true",
+                        help="skip the per-sequence PNG dashboard "
+                             "(reference parity: every test script emits "
+                             "one, test_repeatability.py:389-408)")
     args = parser.parse_args(argv)
 
     from ..eval import frontend_tests
@@ -130,6 +137,15 @@ def main(argv=None):
         if "performance" in r and "fps" in r["performance"]:
             print(f"  performance: {r['performance']['fps']:.1f} FPS")
         print(f"  => {'ALL PASS' if r['all_passed'] else 'FAILURES'}")
+        if not args.no_plots:
+            from ..viz import test_dashboard
+
+            png = f"{Path(args.output).with_suffix('').as_posix()}_{name}.png"
+            try:
+                test_dashboard.acceptance_dashboard(r, png, sequence=name)
+                print(f"  dashboard: {png}")
+            except Exception as e:  # plots must never fail the suite
+                print(f"  dashboard failed: {e}", file=sys.stderr)
 
     def strip_per_pair(obj):
         if isinstance(obj, dict):

@@ -122,9 +122,13 @@ def pyramid_orb_adapter(
     from ..slam import tracking
 
     def extract(rgb: np.ndarray) -> Dict[str, np.ndarray]:
-        # extract_features is batched (B, H, W); the acceptance contract
-        # is per-frame — add/strip the batch axis.
-        gray = image.rgb_to_gray(jnp.asarray(rgb))[None]
+        # Adapter contract (same as orb_adapter): rgb is a BATCH of
+        # frames (F, H, W, 3) and the returned arrays are per-frame
+        # (F, K, ...). Accept a single (H, W, 3) frame too.
+        gray = image.rgb_to_gray(jnp.asarray(rgb))
+        single = gray.ndim == 2
+        if single:
+            gray = gray[None]
         ones = jnp.ones_like(gray)
         f = tracking.extract_features(
             gray,
@@ -134,10 +138,11 @@ def pyramid_orb_adapter(
             num_levels=num_levels,
             scale_factor=scale_factor,
         )
+        sel = 0 if single else slice(None)
         return {
-            "xy": np.asarray(f.xy[0]),
-            "desc": np.asarray(f.desc[0]),
-            "valid": np.asarray(f.valid[0]),
+            "xy": np.asarray(f.xy[sel]),
+            "desc": np.asarray(f.desc[sel]),
+            "valid": np.asarray(f.valid[sel]),
         }
 
     def match(feats: Dict[str, np.ndarray], i: int, j: int) -> np.ndarray:
@@ -152,7 +157,30 @@ def pyramid_orb_adapter(
         idx1 = np.where(valid)[0]
         return np.stack([idx1, np.asarray(m.idx2)[idx1]], axis=1)
 
-    return FrontendAdapter(f"orb_pyramid{num_levels}", extract, match)
+    def stages(rgb: np.ndarray) -> Dict[str, tuple]:
+        gray = image.rgb_to_gray(jnp.asarray(rgb))
+        if gray.ndim == 2:
+            gray = gray[None]
+        ones = jnp.ones_like(gray)
+
+        def ext(g, d):
+            return tracking.extract_features(
+                g, d, num_keypoints=num_keypoints, threshold=threshold,
+                num_levels=num_levels, scale_factor=scale_factor,
+            )
+
+        f = ext(gray, ones)
+        return {
+            "pyramid_extract": (lambda g, d: ext(g, d).xy, (gray, ones)),
+            "hamming_match": (
+                lambda d, v: matching.match_hamming(
+                    d[0], d[-1], v[0], v[-1], max_distance=max_distance
+                ).idx2,
+                (f.desc, f.valid),
+            ),
+        }
+
+    return FrontendAdapter(f"orb_pyramid{num_levels}", extract, match, stages)
 
 
 def learned_adapter(
