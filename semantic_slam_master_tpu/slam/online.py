@@ -111,6 +111,7 @@ def run_slam_online(
     min_frame_gap: int = 30,
     min_inliers: int = 25,
     max_loops_per_pass: int = 5,
+    timings: Optional[List[dict]] = None,
 ) -> Tuple[SlamOutput, List[Tuple[int, int, float]]]:
     """Streaming SLAM over ``features`` with between-chunk loop closure.
 
@@ -118,9 +119,16 @@ def run_slam_online(
     ``system.run_slam`` (same per-frame PRNG keys, same scan) — chunking
     is a pure execution-schedule change, pinned by tests.
 
+    If ``timings`` is a list, one dict per chunk is appended:
+    ``{start, frames, slam_s, closure_s, keyframes_indexed}`` — the
+    evidence for the "per-chunk latency bounded by chunk length, not
+    sequence length" claim (incremental BowIndex): the series must stay
+    flat as the map and keyframe history grow.
+
     Returns (SlamOutput over all F frames, accepted loops
     [(frame_i, frame_j, score)]).
     """
+    import time as _time
     F = features.xy.shape[0]
     keys = jax.random.split(key, F)
 
@@ -146,6 +154,7 @@ def run_slam_online(
 
     pos = 1
     while pos < F:
+        t_chunk = _time.perf_counter()
         end = min(pos + chunk_size, F)
         n = end - pos
         chunk = jax.tree.map(lambda x: x[pos:end], features)
@@ -176,22 +185,35 @@ def run_slam_online(
         n_match.extend(out.num_matches.tolist())
         is_kf.extend(out.is_keyframe.tolist())
         pos = end
+        t_slam = _time.perf_counter()
 
-        if not enable_loop_closure:
-            continue
-        # Index the chunk's new keyframes (signatures computed once each).
-        for f in range(pos - n, pos):
-            if is_kf[f]:
-                index.add_keyframe(
-                    np.asarray(features.desc[f]),
-                    np.asarray(features.valid[f]),
-                    f,
-                )
-        state, T_prev, poses, scored = _closing_pass(
-            index, features, cam, cfg, state, T_prev, poses, is_kf,
-            edges, accepted, scored,
-            min_score, min_frame_gap, min_inliers, max_loops_per_pass,
-        )
+        kf_new = 0
+        if enable_loop_closure:
+            # Index the chunk's new keyframes (signatures computed once
+            # each).
+            for f in range(pos - n, pos):
+                if is_kf[f]:
+                    index.add_keyframe(
+                        np.asarray(features.desc[f]),
+                        np.asarray(features.valid[f]),
+                        f,
+                    )
+                    kf_new += 1
+            state, T_prev, poses, scored = _closing_pass(
+                index, features, cam, cfg, state, T_prev, poses, is_kf,
+                edges, accepted, scored,
+                min_score, min_frame_gap, min_inliers, max_loops_per_pass,
+            )
+        if timings is not None:
+            t_end = _time.perf_counter()
+            timings.append({
+                "start": pos - n,
+                "frames": n,
+                "slam_s": round(t_slam - t_chunk, 4),
+                "closure_s": round(t_end - t_slam, 4),
+                "keyframes_indexed": kf_new,
+                "keyframes_total": len(index.frame_ids),
+            })
 
     if enable_loop_closure and index.vocab is None:
         # Sequence ended before the vocabulary's normal training corpus
