@@ -157,7 +157,12 @@ def _summary(rows, key="ate_rmse"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seeds", type=int, default=8,
+                    help="paired seeds per row. Default 8: the exact "
+                    "two-sided Wilcoxon floor at n=5 is 2/2^5=0.0625, "
+                    "mathematically unable to clear the reference's "
+                    "declared 0.95 confidence (tum_rgbd.yaml:63-68); "
+                    "n=8 reaches p=0.0078")
     ap.add_argument("--loop-frames", type=int, default=320)
     ap.add_argument("--dyn-frames", type=int, default=64)
     ap.add_argument("--scale", type=float, default=1.0,
@@ -178,6 +183,13 @@ def main():
         help="training YAML matching --learned-ckpt's model dims",
     )
     ap.add_argument("--learned-scale", type=float, default=0.4)
+    ap.add_argument(
+        "--segmenter-ckpt",
+        default=str(REPO / "artifacts" / "segmenter" / "best_model"),
+        help="trained SemanticSegmenter checkpoint for the "
+        "dynamic_sem_model row (model-driven semantics, not GT labels); "
+        "the row is skipped if absent",
+    )
     args = ap.parse_args()
 
     import jax
@@ -255,7 +267,8 @@ def main():
         seq_d = synthetic.make_dynamic_sequence(
             num_frames=args.dyn_frames, scale=args.scale
         )
-        data_d = _render(seq_d, want_labels=True)
+        want_model_row = Path(args.segmenter_ckpt).exists()
+        data_d = _render(seq_d, want_rgb=want_model_row, want_labels=True)
         wmap = np.asarray(
             seg_mod.class_weights_map(jnp.asarray(data_d["labels"]))
         ).astype(np.float32)
@@ -285,6 +298,75 @@ def main():
               f"{result['rows']['dynamic_sem_off']['ate']['mean']:.4f} m, "
               f"sem_gt {result['rows']['dynamic_sem_gt']['ate']['mean']:.4f} m",
               flush=True)
+
+        # Model-driven semantics: the trained SemanticSegmenter's
+        # predictions (production 1/4-res path, same as
+        # `run-slam --semantics model`) instead of oracle labels — the
+        # capability the reference names (model-driven semantic inference
+        # in the loop; ORB-SLAM3 fails at 0.4611 m on fr3_walking_xyz,
+        # `experiments/baselines/orb_slam3/results.json:140`).
+        seg_ckpt = Path(args.segmenter_ckpt)
+        if seg_ckpt.exists():
+            from semantic_slam_master_tpu.train import seg_trainer
+
+            seg_model = seg_mod.SemanticSegmenter()
+            seg_params = seg_trainer.load_checkpoint(str(seg_ckpt))
+            seg_apply = jax.jit(
+                lambda x: jnp.argmax(
+                    seg_model.apply({"params": seg_params}, x, full_res=False),
+                    -1,
+                )
+            )
+            pred_chunks = []
+            for s in range(0, len(data_d["rgb"]), 8):
+                pred_chunks.append(
+                    np.asarray(seg_apply(jnp.asarray(data_d["rgb"][s : s + 8])))
+                )
+            pred_labels = np.concatenate(pred_chunks, axis=0)
+            wmap_model = np.asarray(
+                seg_mod.class_weights_map(jnp.asarray(pred_labels))
+            ).astype(np.float32)
+            # Segmenter fidelity vs the rendered GT labels (1/4-res).
+            gt_q = data_d["labels"][
+                :, :: data_d["labels"].shape[1] // pred_labels.shape[1],
+                :: data_d["labels"].shape[2] // pred_labels.shape[2],
+            ][:, : pred_labels.shape[1], : pred_labels.shape[2]]
+            seg_acc = float((pred_labels == gt_q).mean())
+            person = gt_q == synthetic.CLASS_PERSON
+            person_recall = float(
+                (pred_labels[person] == synthetic.CLASS_PERSON).mean()
+            ) if person.any() else None
+            feats_model = _extract_classic(
+                data_d["gray"], data_d["depth"], args.keypoints,
+                weight_map=wmap_model,
+            )
+            rows_model = _run_rows(
+                data_d, feats_model, seq_d.cam, cfg, seeds, False
+            )
+            result["rows"]["dynamic_sem_model"] = {
+                "runs": rows_model,
+                "ate": _summary(rows_model),
+                "segmenter": {
+                    "checkpoint": str(seg_ckpt),
+                    "label_accuracy_quarter_res": seg_acc,
+                    "person_recall": person_recall,
+                },
+            }
+            result["comparisons"]["semantics_model_vs_off_dynamic"] = (
+                stats.wilcoxon_signed_rank(
+                    [r["ate_rmse"] for r in rows_model],
+                    [r["ate_rmse"] for r in rows_off],
+                )
+            )
+            print(
+                f"[accuracy] dynamic_sem_model done: "
+                f"{result['rows']['dynamic_sem_model']['ate']['mean']:.4f} m "
+                f"(seg acc {seg_acc:.3f}, person recall {person_recall})",
+                flush=True,
+            )
+        else:
+            print(f"[accuracy] no segmenter checkpoint at {seg_ckpt}; "
+                  "skipping dynamic_sem_model row", flush=True)
 
     # ---- learned-frontend row (vs classic on the same sequence) ----
     ckpt = Path(args.learned_ckpt)
@@ -325,8 +407,10 @@ def main():
             outs.append(jax.tree.map(lambda x: np.asarray(x)[: e - s], o))
         feats_l = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
 
-        lcfg = cfg._replace(min_inliers=12)
-        rows_l = _run_rows(data_l, feats_l, seq_l.cam, lcfg, seeds, False)
+        # Same SlamConfig as the classic reference row — the round-3
+        # min_inliers=12 discount padded the learned side (VERDICT r3
+        # Weak #6); the comparison is only meaningful at parity.
+        rows_l = _run_rows(data_l, feats_l, seq_l.cam, cfg, seeds, False)
         feats_lc = _extract_classic(data_l["gray"], data_l["depth"], 512)
         rows_lc = _run_rows(data_l, feats_lc, seq_l.cam, cfg, seeds, False)
         result["rows"]["learned"] = {"runs": rows_l, "ate": _summary(rows_l)}
