@@ -23,6 +23,25 @@ from ..core.camera import PinholeCamera, project
 from ..core.precision import f32_matmuls
 
 
+def _mm(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Tiny-matrix matmul as broadcast-multiply-reduce (VPU, fusable).
+
+    A `dot_general` on (..., 4, 4) operands becomes its OWN MXU kernel —
+    a chain of them (e.g. a power iteration under the RANSAC vmap) is a
+    chain of kernel launches, which is what makes the sequential SLAM
+    backend dispatch-bound (~270 kernels/frame measured in the compiled
+    scan body, round-4 audit). Expressed as mul+reduce over the size-4
+    contraction axis, XLA fuses the whole chain into a handful of VPU
+    fusions instead.
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _mv(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Tiny matvec as broadcast-multiply-reduce (see _mm)."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
 def _inv4x4_sym(A: jnp.ndarray) -> jnp.ndarray:
     """Closed-form inverse of a symmetric 4x4 via 2x2 block elimination.
 
@@ -42,15 +61,18 @@ def _inv4x4_sym(A: jnp.ndarray) -> jnp.ndarray:
         row1 = jnp.stack([-c, a], axis=-1)
         return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
 
+    def mm2(X, Y):
+        return jnp.sum(X[..., :, :, None] * Y[..., None, :, :], axis=-2)
+
     P, Q = A[..., :2, :2], A[..., :2, 2:]
     S = A[..., 2:, 2:]
     P_inv = inv2(P)
     # Schur complement of P.
-    Sc = S - jnp.swapaxes(Q, -1, -2) @ P_inv @ Q
+    Sc = S - mm2(mm2(jnp.swapaxes(Q, -1, -2), P_inv), Q)
     Sc_inv = inv2(Sc)
-    PiQ = P_inv @ Q
-    TL = P_inv + PiQ @ Sc_inv @ jnp.swapaxes(PiQ, -1, -2)
-    TR = -PiQ @ Sc_inv
+    PiQ = mm2(P_inv, Q)
+    TL = P_inv + mm2(mm2(PiQ, Sc_inv), jnp.swapaxes(PiQ, -1, -2))
+    TR = -mm2(PiQ, Sc_inv)
     BL = jnp.swapaxes(TR, -1, -2)
     top = jnp.concatenate([TL, TR], axis=-1)
     bot = jnp.concatenate([BL, Sc_inv], axis=-1)
@@ -100,40 +122,48 @@ def kabsch(
             jnp.stack([sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz]),
         ]
     )
-    # Shift so every eigenvalue is positive -> power iteration converges
-    # to Horn's (algebraically largest) eigenvalue, not the largest |.|.
-    # Power iteration alone stalls when the top eigenvalues are close
-    # (weak geometry), so a few Rayleigh-quotient iterations — cubically
+    # Shift so every eigenvalue is positive -> powering converges to
+    # Horn's (algebraically largest) eigenvalue, not the largest |.|.
+    # Powering alone stalls when the top eigenvalues are close (weak
+    # geometry), so a few Rayleigh-quotient iterations — cubically
     # convergent, using the closed-form blockwise 4x4 inverse — finish
     # the job to machine precision.
     c = jnp.sqrt(jnp.sum(N * N)) + 1e-12
     eye4 = jnp.eye(4, dtype=N.dtype)
     Ns = N + c * eye4
-    # Four orthonormal starts, iterated together: a single init can be
-    # near-orthogonal to the top eigenvector (q^T v1 ~ 0 makes power +
-    # Rayleigh converge into the lambda_2 basin -> a 180-deg-wrong
-    # rotation); at least one of e1..e4 has overlap >= 1/2. The winner
-    # by Rayleigh quotient seeds the refinement.
-    Q = eye4
-    for _ in range(power_iters):
-        Q = Q @ Ns  # Ns symmetric: row i <- Ns @ q_i
-        Q = Q / jnp.maximum(
-            jnp.linalg.norm(Q, axis=-1, keepdims=True), 1e-20
-        )
-    mu4 = jnp.einsum("ij,jk,ik->i", Q, N, Q)
+    # Ns^(2^k) by repeated normalized squaring: the rows of Ns^32 are the
+    # four orthonormal inits e1..e4 power-iterated 32 times (at least one
+    # of e1..e4 has overlap >= 1/2 with the top eigenvector — a single
+    # init can be near-orthogonal to it, and power + Rayleigh would then
+    # converge into the lambda_2 basin, a 180-deg-wrong rotation). Five
+    # squarings replace `power_iters` explicit iterations: under the
+    # RANSAC hypothesis vmap each explicit iteration was its own batched
+    # 4x4 `dot_general` kernel plus a normalization kernel (~50 launches
+    # per frame); the mul+reduce squarings fuse into a handful of VPU
+    # kernels (round-4 dispatch audit). Frobenius normalization between
+    # squarings keeps f32 magnitudes bounded (growth <= ||Ns||_F^2 = 1
+    # per step after the first normalization).
+    P = Ns / c
+    for _ in range(max(5, (power_iters + 5) // 6)):
+        P = _mm(P, P)
+        P = P / (jnp.sqrt(jnp.sum(P * P, axis=(-2, -1), keepdims=True)) + 1e-30)
+    Q = P / jnp.maximum(
+        jnp.sqrt(jnp.sum(P * P, axis=-1, keepdims=True)), 1e-20
+    )
+    mu4 = jnp.sum(_mm(Q, N) * Q, axis=-1)
     q = Q[jnp.argmax(mu4)]
     for _ in range(3):
-        mu = q @ (N @ q)
+        mu = jnp.sum(q * _mv(N, q))
         shifted = N - (mu - 1e-6 * c) * eye4
-        x = _inv4x4_sym(shifted) @ q
-        n = jnp.linalg.norm(x)
+        x = _mv(_inv4x4_sym(shifted), q)
+        n = jnp.sqrt(jnp.sum(x * x))
         # Keep the previous vector if the solve blew up (exactly singular
         # shift: q already IS the eigenvector).
         q = jnp.where(n > 1e-18, x / jnp.maximum(n, 1e-30), q)
     # Horn's eigenvector is (qw, qx, qy, qz); quat_to_matrix takes TUM
     # order (qx, qy, qz, qw).
     R = lie.quat_to_matrix(jnp.stack([q[1], q[2], q[3], q[0]]))
-    t = mu_d - R @ mu_s
+    t = mu_d - _mv(R, mu_s)
     return lie.make_pose(R, t)
 
 
