@@ -27,6 +27,28 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def mm_small(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Tiny-matrix matmul (..., m, k) @ (..., k, n) as multiply-reduce.
+
+    On TPU a `dot_general` over 3x3/4x4 operands becomes its own MXU
+    kernel AND runs f32 inputs through bf16-grade passes by default —
+    in a sequential SLAM scan body that is both a dispatch cost (one
+    kernel launch per tiny dot) and a precision loss (~2^-8 relative,
+    i.e. ~px-scale reprojection error at fx~520 on metre-scale points).
+    Expressed as broadcast-multiply + reduce over the tiny contraction
+    axis, XLA fuses whole chains into VPU kernels at exact f32. This is
+    the geometry-path replacement for the f32 precision pin of round 4
+    (`core/precision.py`), which fixed the accuracy but cost +27%
+    backend latency (BENCH_r04 0.421 ms vs r03 0.332 ms).
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def mv_small(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Tiny matvec (..., m, k) @ (..., k) as multiply-reduce (see mm_small)."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
 def hat(v: jnp.ndarray) -> jnp.ndarray:
     """Skew-symmetric matrix of a 3-vector. Supports leading batch dims."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
@@ -70,7 +92,7 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
         small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq_safe
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
-    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+    return eye + a[..., None, None] * K + b[..., None, None] * mm_small(K, K)
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
@@ -119,7 +141,7 @@ def _so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
         (theta - jnp.sin(theta)) / (theta_sq_safe * theta),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
-    return eye + b[..., None, None] * K + c[..., None, None] * (K @ K)
+    return eye + b[..., None, None] * K + c[..., None, None] * mm_small(K, K)
 
 
 def _so3_left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
@@ -132,14 +154,14 @@ def _so3_left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
         (1.0 - half * jnp.cos(half) / jnp.sin(half)) / theta_sq_safe,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
-    return eye - 0.5 * K + cot_coeff[..., None, None] * (K @ K)
+    return eye - 0.5 * K + cot_coeff[..., None, None] * mm_small(K, K)
 
 
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """SE(3) exponential. ``xi = (rho, phi)`` (6,) -> 4x4 matrix."""
     rho, phi = xi[..., :3], xi[..., 3:]
     R = so3_exp(phi)
-    t = (_so3_left_jacobian(phi) @ rho[..., None])[..., 0]
+    t = mv_small(_so3_left_jacobian(phi), rho)
     return make_pose(R, t)
 
 
@@ -148,7 +170,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     phi = so3_log(R)
-    rho = (_so3_left_jacobian_inv(phi) @ t[..., None])[..., 0]
+    rho = mv_small(_so3_left_jacobian_inv(phi), t)
     return jnp.concatenate([rho, phi], axis=-1)
 
 
@@ -169,14 +191,16 @@ def pose_inverse(T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    return make_pose(Rt, -(Rt @ t[..., None])[..., 0])
+    return make_pose(Rt, -mv_small(Rt, t))
 
 
 def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply a 4x4 transform to (..., N, 3) points."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    # (..., N, 3) x (..., 3, 3)^T as multiply-reduce: exact f32, fuses
+    # under the RANSAC hypothesis vmap instead of launching MXU dots.
+    return jnp.sum(pts[..., :, None, :] * R[..., None, :, :], axis=-1) + t[..., None, :]
 
 
 def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
@@ -259,7 +283,7 @@ def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
 def relative_pose(T1: jnp.ndarray, T2: jnp.ndarray) -> jnp.ndarray:
     """``T_rel = T2 @ T1^{-1}`` — the reference's frame-pair convention
     (`semantic-slam/data/tum_dataset.py:191`)."""
-    return T2 @ pose_inverse(T1)
+    return mm_small(T2, pose_inverse(T1))
 
 
 def rotation_angle(R: jnp.ndarray) -> jnp.ndarray:

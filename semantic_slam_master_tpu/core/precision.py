@@ -6,9 +6,19 @@ pose solves (Horn-quaternion Kabsch, GN/LM normal equations, Schur
 complements) condition badly: a bf16 product in a 4x4 eigen-shift or a
 6Kx6K normal system can flip RANSAC hypothesis selection or stall LM on
 exactly one seed (ACCURACY_r03's dynamic_sem_gt 6x outlier seed
-reproduced on TPU only, never on f32 CPU). These matrices are tiny (3x3
-.. tens-of-6x6 blocks), so full-f32 MXU passes cost nothing measurable
-against the frontend; pin them.
+reproduced on TPU only, never on f32 CPU).
+
+Scope (round 5): the blanket trace-time pin stays ONLY on the
+per-keyframe solvers (local BA `slam/ba.py`, pose graph
+`slam/posegraph.py`), where it is off the per-frame critical path.
+Pinning the per-frame PnP/RANSAC path cost +27% backend latency
+(BENCH_r04 0.421 ms vs r03 0.332 ms) because under `jit` the pin turns
+every tiny dot in the scan body into un-fusable multi-pass MXU kernels.
+There the exact-f32 fix is structural instead: tiny-matrix algebra is
+expressed as broadcast-multiply-reduce (`core/lie.py::mm_small`) which
+the VPU executes at full f32 inside fusions, and the few genuine
+contractions (Kabsch cross-covariance, GN normal equations, the 6x6
+solve) carry per-op `Precision.HIGHEST` / a local pin (`slam/pnp.py`).
 
 Reference behaviour being matched: g2o/ORB-SLAM3 solve BA and pose
 optimization in f64 on CPU (`baselines/orb_slam3/scripts/setup.sh`,

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from ..core import lie
 from ..core.camera import PinholeCamera, project
-from ..core.precision import f32_matmuls
 
 
 def _mm(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +78,6 @@ def _inv4x4_sym(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-@f32_matmuls
 def kabsch(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -109,8 +107,10 @@ def kabsch(
     mu_d = jnp.sum(dst * w[:, None], axis=0)
     src_c = src - mu_s
     dst_c = dst - mu_d
-    # S[a, b] = sum_n w * src_a * dst_b (Horn's convention).
-    S = (src_c * w[:, None]).T @ dst_c
+    # S[a, b] = sum_n w * src_a * dst_b (Horn's convention) — computed as
+    # an outer-product reduce: exact f32 on the VPU and fusable under the
+    # RANSAC hypothesis vmap (a dot here is a bf16-grade MXU kernel).
+    S = jnp.sum((src_c * w[:, None])[:, :, None] * dst_c[:, None, :], axis=0)
     sxx, sxy, sxz = S[0, 0], S[0, 1], S[0, 2]
     syx, syy, syz = S[1, 0], S[1, 1], S[1, 2]
     szx, szy, szz = S[2, 0], S[2, 1], S[2, 2]
@@ -207,7 +207,7 @@ def _projection_jacobians(
     # dp/dxi = [I_3 | -hat(p)]: (N, 3, 6)
     I3 = jnp.broadcast_to(jnp.eye(3, dtype=p_cam.dtype), p_cam.shape[:-1] + (3, 3))
     J_p = jnp.concatenate([I3, -lie.hat(p_cam)], axis=-1)
-    return J_proj, J_proj @ J_p
+    return J_proj, _mm(J_proj, J_p)
 
 
 def huber_weights(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
@@ -222,7 +222,6 @@ class PnPResult(NamedTuple):
     rmse: jnp.ndarray  # scalar — inlier reprojection rmse (px)
 
 
-@f32_matmuls
 def refine_pose(
     T_init: jnp.ndarray,
     points: jnp.ndarray,
@@ -251,13 +250,18 @@ def refine_pose(
         w = huber_weights(r_norm, huber_delta) * w_conf * depth_ok
         # Normal equations: (J^T W J + lambda I) delta = -J^T W r
         JW = J_pose * w[:, None, None]
-        H = jnp.einsum("nij,nik->jk", JW, J_pose)
-        g = jnp.einsum("nij,ni->j", JW, r)
+        # The 6x6 system conditions badly; full-f32 MXU passes on these
+        # tiny contractions cost nothing and keep the r04 precision fix
+        # (core/precision.py) without pinning the whole traced body.
+        hi = jax.lax.Precision.HIGHEST
+        H = jnp.einsum("nij,nik->jk", JW, J_pose, precision=hi)
+        g = jnp.einsum("nij,ni->j", JW, r, precision=hi)
         H = H + damping * jnp.eye(6, dtype=H.dtype)
-        delta = -jnp.linalg.solve(H, g)
+        with jax.default_matmul_precision("float32"):
+            delta = -jnp.linalg.solve(H, g)
         # Guard: reject non-finite updates (singular H on degenerate input).
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros(6))
-        return lie.se3_exp(delta) @ T, None
+        return _mm(lie.se3_exp(delta), T), None
 
     T_final, _ = jax.lax.scan(step, T_init, None, length=num_iters)
     return T_final
@@ -277,7 +281,6 @@ def count_inliers(
     return jnp.sum(mask), mask
 
 
-@f32_matmuls
 def ransac_pose(
     key: jax.Array,
     points: jnp.ndarray,
