@@ -34,6 +34,7 @@ Writes the full JSON to --out and prints ONE summary JSON line.
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -145,6 +146,11 @@ def _run_rows(data, feats, cam, cfg, seeds, closure, chunk_size=32, **loop_kw):
         if "rpe" in res:
             row["rpe_trans_rmse"] = res["rpe"]["translation"]["rmse"]
             row["rpe_rot_rmse_deg"] = res["rpe"]["rotation"]["rmse"]
+        if "rpe_metric" in res:
+            # Metric-delta RPE (Δ=1.0 m GT path length) — the mode the
+            # reference's eval config DECLARES (tum_rgbd.yaml:57-59).
+            row["rpe_metric_trans_rmse"] = res["rpe_metric"]["translation"]["rmse"]
+            row["rpe_metric_rot_rmse_deg"] = res["rpe_metric"]["rotation"]["rmse"]
         rows.append(row)
     return rows
 
@@ -153,6 +159,16 @@ def _summary(rows, key="ate_rmse"):
     from semantic_slam_master_tpu.eval import stats
 
     return stats.summarize([r[key] for r in rows])
+
+
+def _row(runs):
+    """Row dict: runs + ATE summary + metric-delta RPE summary (when the
+    trajectory is long enough for >=1 one-meter pair)."""
+    out = {"runs": runs, "ate": _summary(runs)}
+    if all("rpe_metric_trans_rmse" in r for r in runs):
+        out["rpe_metric_trans"] = _summary(runs, key="rpe_metric_trans_rmse")
+        out["rpe_metric_rot_deg"] = _summary(runs, key="rpe_metric_rot_rmse_deg")
+    return out
 
 
 def main():
@@ -243,15 +259,9 @@ def main():
         rows_hc = _run_rows(data_h, feats_h, seq_h.cam, cfg, seeds, True, **loop_kw)
         rows_ho = _run_rows(data_h, feats_h, seq_h.cam, cfg, seeds, False)
         rows_cc = _run_rows(data_c, feats_c, seq_c.cam, cfg, seeds, True, **loop_kw)
-        result["rows"]["loop_harsh_closure"] = {
-            "runs": rows_hc, "ate": _summary(rows_hc)
-        }
-        result["rows"]["loop_harsh_odom"] = {
-            "runs": rows_ho, "ate": _summary(rows_ho)
-        }
-        result["rows"]["loop_clean_closure"] = {
-            "runs": rows_cc, "ate": _summary(rows_cc)
-        }
+        result["rows"]["loop_harsh_closure"] = _row(rows_hc)
+        result["rows"]["loop_harsh_odom"] = _row(rows_ho)
+        result["rows"]["loop_clean_closure"] = _row(rows_cc)
         result["comparisons"]["closure_vs_odom_harsh"] = stats.wilcoxon_signed_rank(
             [r["ate_rmse"] for r in rows_hc], [r["ate_rmse"] for r in rows_ho]
         )
@@ -282,12 +292,8 @@ def main():
             data_d, feats_off, seq_d.cam, cfg, seeds, False
         )
         rows_gt = _run_rows(data_d, feats_gt, seq_d.cam, cfg, seeds, False)
-        result["rows"]["dynamic_sem_off"] = {
-            "runs": rows_off, "ate": _summary(rows_off)
-        }
-        result["rows"]["dynamic_sem_gt"] = {
-            "runs": rows_gt, "ate": _summary(rows_gt)
-        }
+        result["rows"]["dynamic_sem_off"] = _row(rows_off)
+        result["rows"]["dynamic_sem_gt"] = _row(rows_gt)
         result["comparisons"]["semantics_gt_vs_off_dynamic"] = (
             stats.wilcoxon_signed_rank(
                 [r["ate_rmse"] for r in rows_gt],
@@ -343,14 +349,11 @@ def main():
             rows_model = _run_rows(
                 data_d, feats_model, seq_d.cam, cfg, seeds, False
             )
-            result["rows"]["dynamic_sem_model"] = {
-                "runs": rows_model,
-                "ate": _summary(rows_model),
-                "segmenter": {
-                    "checkpoint": str(seg_ckpt),
-                    "label_accuracy_quarter_res": seg_acc,
-                    "person_recall": person_recall,
-                },
+            result["rows"]["dynamic_sem_model"] = _row(rows_model)
+            result["rows"]["dynamic_sem_model"]["segmenter"] = {
+                "checkpoint": str(seg_ckpt),
+                "label_accuracy_quarter_res": seg_acc,
+                "person_recall": person_recall,
             }
             result["comparisons"]["semantics_model_vs_off_dynamic"] = (
                 stats.wilcoxon_signed_rank(
@@ -413,10 +416,8 @@ def main():
         rows_l = _run_rows(data_l, feats_l, seq_l.cam, cfg, seeds, False)
         feats_lc = _extract_classic(data_l["gray"], data_l["depth"], 512)
         rows_lc = _run_rows(data_l, feats_lc, seq_l.cam, cfg, seeds, False)
-        result["rows"]["learned"] = {"runs": rows_l, "ate": _summary(rows_l)}
-        result["rows"]["learned_classic_ref"] = {
-            "runs": rows_lc, "ate": _summary(rows_lc)
-        }
+        result["rows"]["learned"] = _row(rows_l)
+        result["rows"]["learned_classic_ref"] = _row(rows_lc)
         result["comparisons"]["learned_vs_classic_ratio"] = float(
             _summary(rows_l)["mean"] / max(_summary(rows_lc)["mean"], 1e-9)
         )
@@ -426,6 +427,18 @@ def main():
               flush=True)
 
     Path(args.out).write_text(json.dumps(result, indent=1))
+    # Keep the README accuracy table in lockstep with the artifact
+    # (VERDICT r4 ask #5) — only when writing a repo-root ACCURACY_r* file
+    # the README generator actually reads.
+    try:
+        import readme_sync
+
+        if Path(args.out).resolve().parent == REPO and Path(args.out).name.startswith(
+            "ACCURACY_r"
+        ):
+            readme_sync.sync()
+    except Exception as e:
+        print(f"[accuracy] readme sync skipped: {e}", file=sys.stderr)
     if "loop_harsh_closure" in result["rows"]:
         head = {
             "metric": "ATE RMSE (m), harsh 320-frame loop, online SLAM + closure",

@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--keypoints", type=int, default=768)
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--chunk-size", type=int, default=32)
-    ap.add_argument("--harsh", action="store_true", default=True)
+    ap.add_argument("--harsh", action=argparse.BooleanOptionalAction, default=True,
+                    help="harsh sensor model (default; --no-harsh for clean)")
     ap.add_argument("--out", default=str(REPO / "LONGRUN.json"))
     args = ap.parse_args()
 
