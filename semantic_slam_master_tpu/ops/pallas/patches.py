@@ -91,7 +91,7 @@ def gather_patches_pallas(
         num_scalar_prefetch=1,
         grid=(B, N // group),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # frame stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # frame stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, group, ks, ks), lambda b, c, coords: (b, c, 0, 0)
@@ -272,7 +272,7 @@ def gather_aligned_patches(
                 lambda b, c: (b, jnp.minimum(c + 1, num_c - 1), 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, group, 32, 32), lambda b, c: (b, c, 0, 0)
