@@ -209,6 +209,12 @@ def main(argv=None):
         default=None,
         help="checkpoint to warm-start params from (fresh optimizer/schedule)",
     )
+    parser.add_argument(
+        "--resume",
+        default=None,
+        help="full-state checkpoint to TRULY resume from (optimizer state, "
+        "PRNG, LR schedule continue; epochs pick up at meta epoch + 1)",
+    )
     args = parser.parse_args(argv)
 
     from ..train import config as config_mod, trainer
@@ -246,6 +252,7 @@ def main(argv=None):
         state, history = trainer.fit(
             cfg, train_batches, val_batches, steps_per_epoch=steps,
             log_fn=sink.log, init_from=args.init_from,
+            resume_from=args.resume,
         )
     finally:
         sink.close()

@@ -441,6 +441,7 @@ def fit(
     steps_per_epoch: int = 16,
     log_fn: Callable[[Dict], None] = lambda m: None,
     init_from: str | Path | None = None,
+    resume_from: str | Path | None = None,
 ) -> Tuple[TrainState, Dict]:
     """Epoch loop with best-checkpoint retention.
 
@@ -448,11 +449,27 @@ def fit(
     with at least rgb1/rgb2); sharding + device transfer happen here.
     ``init_from`` warm-starts params/batch-stats from a checkpoint
     (params-only accepted) with a FRESH optimizer and LR schedule —
-    a cosine warm restart, not a resume (step resets to 0)."""
+    a cosine warm restart, not a resume (step resets to 0).
+    ``resume_from`` is a TRUE resume from a full-state checkpoint
+    (step + optimizer state + PRNG restored; the LR schedule continues
+    from the restored optax count) picking the epoch loop back up at the
+    checkpoint's recorded epoch + 1 — the interrupted-run path the
+    reference lacks (SURVEY.md §5 Checkpoint/resume)."""
     t = cfg.training
     mesh = mesh_lib.make_mesh(t.mesh_data, t.mesh_model)
     model, state = create_train_state(cfg, steps_per_epoch)
-    if init_from is not None:
+    best_val = float("inf")
+    start_epoch = 1
+    if resume_from is not None:
+        state, meta = restore_checkpoint(resume_from, state)
+        if meta.get("params_only", False):
+            raise ValueError(
+                f"{resume_from} is a params-only checkpoint; true resume "
+                "needs the optimizer state (use init_from to warm-start)"
+            )
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best_val = float(meta.get("val_loss", float("inf")))
+    elif init_from is not None:
         restored, _ = restore_checkpoint(init_from, state)
         state = dataclasses.replace(
             state,
@@ -465,11 +482,10 @@ def fit(
     train_step = make_train_step(model, cfg, tx, mesh)
     eval_step = make_eval_step(model, cfg, mesh)
 
-    best_val = float("inf")
     history = {"train": [], "val": []}
     save_dir = Path(t.save_dir)
 
-    for epoch in range(1, t.epochs + 1):
+    for epoch in range(start_epoch, t.epochs + 1):
         agg: Dict[str, float] = {}
         n = 0
         for batch in train_batches(epoch):

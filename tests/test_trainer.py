@@ -149,6 +149,48 @@ def test_fit_saves_best(tmp_path, rng):
     assert np.isfinite(history["train"][-1]["loss"])
 
 
+def test_fit_resume_continues(tmp_path, rng):
+    """True resume: epoch loop picks up at meta epoch + 1, optimizer
+    step count carries over, best-val retention keeps the saved value."""
+    import json
+
+    cfg = tiny_config(tmp_path)
+    cfg.training.epochs = 2
+
+    def train_batches(epoch):
+        for _ in range(2):
+            yield _batch(rng)
+
+    def val_batches():
+        r = np.random.default_rng(42)
+        yield _batch(r)
+
+    trainer.fit(cfg, train_batches, val_batches, steps_per_epoch=2)
+    ck = tmp_path / "ckpt" / "best_model"
+    meta = json.loads((ck.parent / "best_model.meta.json").read_text())
+    saved_epoch = meta["epoch"]
+    assert meta["params_only"] is False  # fit saves full state
+
+    cfg.training.epochs = 3
+    state, history = trainer.fit(
+        cfg, train_batches, val_batches, steps_per_epoch=2, resume_from=ck
+    )
+    epochs_run = [m["epoch"] for m in history["train"]]
+    assert epochs_run == list(range(saved_epoch + 1, 4))
+    # step continued from the checkpoint (2 steps/epoch in both runs)
+    assert int(jax.device_get(state.step)) == 2 * 3
+
+    # params-only checkpoints are refused (no optimizer state to resume)
+    trainer.save_checkpoint(
+        tmp_path / "po", jax.device_get(state), {"epoch": 3}, params_only=True
+    )
+    with pytest.raises(ValueError, match="params-only"):
+        trainer.fit(
+            cfg, train_batches, val_batches, steps_per_epoch=2,
+            resume_from=tmp_path / "po",
+        )
+
+
 def test_config_loads_reference_yaml(tmp_path):
     """The reference's train_config.yaml keys load without loss."""
     yaml_text = """
