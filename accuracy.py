@@ -200,6 +200,14 @@ def main():
     )
     ap.add_argument("--learned-scale", type=float, default=0.4)
     ap.add_argument(
+        "--merge-from",
+        default=None,
+        help="existing ACCURACY json to seed rows/comparisons from; rows "
+        "run in this invocation overwrite the loaded ones (lets a "
+        "--skip-* partial run refresh single rows, e.g. the learned row "
+        "after retraining, without re-running the whole protocol)",
+    )
+    ap.add_argument(
         "--segmenter-ckpt",
         default=str(REPO / "artifacts" / "segmenter" / "best_model"),
         help="trained SemanticSegmenter checkpoint for the "
@@ -236,6 +244,14 @@ def main():
         "rows": {},
         "comparisons": {},
     }
+    if args.merge_from:
+        prev = json.loads(Path(args.merge_from).read_text())
+        result["rows"].update(prev.get("rows", {}))
+        result["comparisons"].update(prev.get("comparisons", {}))
+        result["meta"]["merged_from"] = {
+            "file": str(args.merge_from),
+            "meta": prev.get("meta", {}),
+        }
     cfg = system.SlamConfig()
 
     # ---- loop rows ----
@@ -417,6 +433,7 @@ def main():
         feats_lc = _extract_classic(data_l["gray"], data_l["depth"], 512)
         rows_lc = _run_rows(data_l, feats_lc, seq_l.cam, cfg, seeds, False)
         result["rows"]["learned"] = _row(rows_l)
+        result["rows"]["learned"]["checkpoint"] = str(ckpt)
         result["rows"]["learned_classic_ref"] = _row(rows_lc)
         result["comparisons"]["learned_vs_classic_ratio"] = float(
             _summary(rows_l)["mean"] / max(_summary(rows_lc)["mean"], 1e-9)

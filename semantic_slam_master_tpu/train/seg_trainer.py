@@ -123,9 +123,22 @@ def save_checkpoint(path: str | Path, params) -> None:
 
 def load_checkpoint(path: str | Path):
     """Restore segmenter params (template-free: shapes come from the
-    checkpoint itself, so any model width round-trips)."""
+    checkpoint itself, so any model width round-trips).
+
+    Restores as host numpy arrays: a template-free jax.Array restore
+    replays the SAVED shardings, which names devices of the saving
+    process (e.g. ``TFRT_CPU_0``) and fails when loading a CPU-trained
+    checkpoint on the TPU backend. The caller's first jit call moves the
+    params to device."""
+    import numpy as np
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(Path(path).absolute())
+    path = Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), dict(tree)
+    )
+    restored = ckptr.restore(path, restore_args=restore_args)
     return restored["params"]
