@@ -93,6 +93,15 @@ def main():
             "timings": timings,
         }
 
+    # Un-timed warmup closure run: the first run pays every jit compile
+    # (chunk graphs, per-loop-count posegraph shapes) — measured 773s vs
+    # 74s warm — which would otherwise pollute seed 0's per-chunk latency
+    # series, the flatness evidence. ATE is unaffected (seeded RANSAC).
+    t0 = time.time()
+    run(0, True)
+    print(f"[longrun] warmup (compile) run in {time.time()-t0:.0f}s",
+          flush=True)
+
     rows_c, rows_o = [], []
     for seed in range(args.seeds):
         rc = run(seed, True)
@@ -103,12 +112,13 @@ def main():
               f"({rc['loops_closed']} loops, {rc['wall_s']}s) vs odom "
               f"{ro['ate_rmse']:.4f} m ({ro['wall_s']}s)", flush=True)
 
-    # Latency-flatness evidence from seed 0's closure run (the others are
-    # summarized): per-chunk total latency, first-third vs last-third.
+    # Latency-flatness evidence from seed 0's closure run — fully warm
+    # thanks to the warmup run above (the others are summarized):
+    # per-chunk total latency, first-third vs last-third.
     t_series = [
         round(t["slam_s"] + t["closure_s"], 4) for t in rows_c[0]["timings"]
     ]
-    # Drop chunk 0 (first-compile) from the ratio.
+    # Drop chunk 0 (residual per-process first-dispatch cost) from the ratio.
     body = np.asarray(t_series[1:])
     third = max(len(body) // 3, 1)
     flatness = float(body[-third:].mean() / max(body[:third].mean(), 1e-9))
@@ -132,6 +142,7 @@ def main():
             "chunk_size": args.chunk_size,
             "seeds": args.seeds,
             "harsh": bool(args.harsh),
+            "compile_warmup_run": True,
         },
         "closure": {"runs": rows_c, "ate": sum_c},
         "odometry": {"runs": rows_o, "ate": sum_o},
@@ -146,6 +157,16 @@ def main():
         },
     }
     Path(args.out).write_text(json.dumps(result, indent=1))
+    # Keep the README long-run table in lockstep with the artifact.
+    try:
+        import sys
+
+        import readme_sync
+
+        if Path(args.out).resolve() == REPO / "LONGRUN.json":
+            readme_sync.sync()
+    except Exception as e:
+        print(f"[longrun] readme sync skipped: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": f"ATE RMSE (m), {args.frames}-frame {args.laps}-lap "
                   "harsh loop, online SLAM + closure",
